@@ -1,0 +1,142 @@
+"""Text encoders: token ids → one vector per news article.
+
+Reference analogs (``newsreclib/models/components/encoders/news/text.py``):
+  * ``MHSAAddAtt``     (:179-236)  — NRMS
+  * ``CNNAddAtt``      (:112-176)  — NAML / LSTUR / TANR
+  * ``CNNMHSAAddAtt``  (:239-309)  — CenNewsRec
+  * ``CNNPersAtt``     (:312-392)  — NPA (personalized attention)
+  * ``PLM``            (:15-109)   — implemented in ``plm.py``
+
+Design: each encoder maps a *deduplicated* bag of U unique news
+``(U, L)`` → ``(U, D)``; models gather the per-article vectors into
+history/candidate slots afterwards.  This encodes each article exactly once
+per step, unlike the reference which re-encodes every occurrence
+(SURVEY.md §3, hot loop 1).  Dropout positions mirror the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from newsreclib_tpu.models.components.attention import (
+    AdditiveAttention,
+    MultiHeadSelfAttention,
+    PersonalizedAttention,
+)
+from newsreclib_tpu.models.components.embedding import TokenEmbedding
+
+
+class MHSAAddAtt(nn.Module):
+    """NRMS text encoder: embed → MHSA → additive attention."""
+
+    vocab_size: int
+    embed_dim: int = 300
+    num_heads: int = 15
+    query_dim: int = 200
+    dropout: float = 0.2
+    pretrained: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(
+        self, tokens: jnp.ndarray, mask: Optional[jnp.ndarray] = None, deterministic: bool = True
+    ) -> jnp.ndarray:
+        x = TokenEmbedding(self.vocab_size, self.embed_dim, self.pretrained, name="embedding")(
+            tokens
+        )
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = MultiHeadSelfAttention(self.num_heads, name="mhsa")(x, mask)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return AdditiveAttention(self.query_dim, name="add_att")(x, mask)
+
+
+class CNNAddAtt(nn.Module):
+    """NAML text encoder: embed → 1-D conv (SAME) → ReLU → additive att."""
+
+    vocab_size: int
+    embed_dim: int = 300
+    num_filters: int = 400
+    window_size: int = 3
+    query_dim: int = 200
+    dropout: float = 0.2
+    pretrained: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(
+        self, tokens: jnp.ndarray, mask: Optional[jnp.ndarray] = None, deterministic: bool = True
+    ) -> jnp.ndarray:
+        x = TokenEmbedding(self.vocab_size, self.embed_dim, self.pretrained, name="embedding")(
+            tokens
+        )
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Conv(self.num_filters, (self.window_size,), padding="SAME", name="cnn")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return AdditiveAttention(self.query_dim, name="add_att")(x, mask)
+
+
+class CNNMHSAAddAtt(nn.Module):
+    """CenNewsRec text encoder: embed → conv → MHSA → additive attention."""
+
+    vocab_size: int
+    embed_dim: int = 300
+    num_filters: int = 300
+    window_size: int = 3
+    num_heads: int = 15
+    query_dim: int = 200
+    dropout: float = 0.2
+    pretrained: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(
+        self, tokens: jnp.ndarray, mask: Optional[jnp.ndarray] = None, deterministic: bool = True
+    ) -> jnp.ndarray:
+        x = TokenEmbedding(self.vocab_size, self.embed_dim, self.pretrained, name="embedding")(
+            tokens
+        )
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Conv(self.num_filters, (self.window_size,), padding="SAME", name="cnn")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = MultiHeadSelfAttention(self.num_heads, name="mhsa")(x, mask)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return AdditiveAttention(self.query_dim, name="add_att")(x, mask)
+
+
+class CNNPersAtt(nn.Module):
+    """NPA text encoder: embed → conv → personalized attention conditioned on
+    a per-article user preference query.
+
+    ``tokens (U, L)``, ``user_query (U, Dq)`` → ``(U, F)``.  The reference
+    repeat-interleaves the per-user query over ragged article counts
+    (``text.py:386-390``); here the caller gathers the query per unique
+    article, so the encoder stays a flat batched map.
+    """
+
+    vocab_size: int
+    query_dim: int
+    embed_dim: int = 300
+    num_filters: int = 400
+    window_size: int = 3
+    dropout: float = 0.2
+    pretrained: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        user_query: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        x = TokenEmbedding(self.vocab_size, self.embed_dim, self.pretrained, name="embedding")(
+            tokens
+        )
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Conv(self.num_filters, (self.window_size,), padding="SAME", name="cnn")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return PersonalizedAttention(self.num_filters, name="pers_att")(user_query, x, mask)

@@ -1,0 +1,59 @@
+"""NRMS — Neural news recommendation with multi-head self-attention.
+
+Reference analog: ``newsreclib/models/general_rec/nrms_module.py:230-535``
+(model math only; the Lightning plumbing is replaced by the framework's
+jitted train/eval steps).  Canonical hparams from ``configs/model/nrms.yaml``:
+embed 300, heads 15, query 200, dropout 0.2.
+
+TPU-native structure: the title encoder runs ONCE over the batch's unique
+news table ``(U, L)``; history/candidate slots gather from it.  The
+reference re-encodes each occurrence (``nrms_module.py:231-237``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import numpy as np
+
+from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.components.click import dot_product_scores
+from newsreclib_tpu.models.components.text import MHSAAddAtt
+from newsreclib_tpu.models.components.user import NRMSUserEncoder
+
+
+class NRMS(nn.Module):
+    vocab_size: int
+    embed_dim: int = 300
+    num_heads: int = 15
+    query_dim: int = 200
+    dropout: float = 0.2
+    late_fusion: bool = False
+    pretrained_embeddings: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = MHSAAddAtt(
+            vocab_size=self.vocab_size,
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            query_dim=self.query_dim,
+            dropout=self.dropout,
+            pretrained=self.pretrained_embeddings,
+            name="news_encoder",
+        )(batch.news.title, batch.news.title_mask, deterministic)
+
+        hist = gather_news(news_vecs, batch.hist_idx)
+        cand = gather_news(news_vecs, batch.cand_idx)
+
+        if self.late_fusion:
+            user = late_fusion_user(hist, batch.hist_mask)
+        else:
+            user = NRMSUserEncoder(
+                num_heads=self.num_heads, query_dim=self.query_dim, name="user_encoder"
+            )(hist, batch.hist_mask, deterministic)
+
+        scores = dot_product_scores(user, cand)
+        return scores, {}

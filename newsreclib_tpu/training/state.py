@@ -1,0 +1,69 @@
+"""Train state: params + optimizer + RNG.
+
+Reference analog: Lightning's optimizer wiring
+(``abstract_recommender.py:89-108``) — here a plain flax TrainState with
+optax, plus a dropout PRNG key folded per step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    dropout_rng: jax.Array = None
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.0,
+    scheduler: Optional[str] = None,
+    warmup_steps: int = 0,
+    total_steps: int = 0,
+    grad_clip_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Adam (reference default, ``configs/model/nrms.yaml``) with optional
+    cosine/warmup schedule and gradient clipping."""
+    if scheduler == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1)
+        )
+    elif scheduler == "linear_warmup":
+        lr = optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1))
+    else:
+        lr = learning_rate
+    opt = (
+        optax.adamw(lr, weight_decay=weight_decay)
+        if weight_decay
+        else optax.adam(lr)
+    )
+    if grad_clip_norm:
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip_norm), opt)
+    return opt
+
+
+def create_train_state(
+    model,
+    example_batch,
+    rng: jax.Array,
+    optimizer: optax.GradientTransformation,
+) -> TrainState:
+    params_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": params_rng, "dropout": dropout_rng}, example_batch, deterministic=True
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=optimizer,
+        dropout_rng=dropout_rng,
+    )
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

@@ -1,0 +1,86 @@
+"""Jitted train / eval steps.
+
+Reference analog: Lightning's ``training_step`` / ``model_step`` per module
+(e.g. ``nrms_module.py:260-378``).  Here: ONE jitted, donated train step per
+model covering forward + loss + backward + optimizer update; an eval step
+computing scores AND per-impression metrics on device.  Compiled once per
+(batch-shape, mesh) pair — batching is static/bucketed to keep recompiles
+bounded.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.models.base import mask_scores
+from newsreclib_tpu.metrics.collector import RankingMetrics
+from newsreclib_tpu.training.state import TrainState
+
+
+def make_train_step(loss_fn: Callable, donate: bool = True):
+    """Build a jitted train step.
+
+    ``loss_fn(scores, labels, cand_mask, valid) -> scalar``; model aux losses
+    (already weighted) are added on top.
+    """
+
+    def train_step(state: TrainState, batch: RecBatch) -> Tuple[TrainState, Dict]:
+        dropout_rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+        def loss_of(params):
+            scores, aux = state.apply_fn(
+                {"params": params},
+                batch,
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            loss = loss_fn(scores, batch.labels, batch.cand_mask, batch.impression_valid)
+            for v in aux.values():
+                loss = loss + v
+            return loss, (scores, aux)
+
+        (loss, (_, aux)), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, **{f"aux/{k}": v for k, v in aux.items()}}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    loss_fn: Optional[Callable] = None,
+    ranking: Optional[RankingMetrics] = None,
+    with_aspects: bool = True,
+):
+    """Build a jitted eval step → (scores, per-impression metrics, loss)."""
+    ranking = ranking or RankingMetrics()
+
+    def eval_step(state: TrainState, batch: RecBatch):
+        scores, _ = state.apply_fn({"params": state.params}, batch, deterministic=True)
+        scores = mask_scores(scores, batch.cand_mask)
+        valid = (
+            batch.impression_valid
+            if batch.impression_valid is not None
+            else jnp.ones(scores.shape[0], dtype=bool)
+        )
+        kwargs = {}
+        if with_aspects and batch.news.category is not None:
+            kwargs["cand_categories"] = jnp.take(batch.news.category, batch.cand_idx, axis=0)
+            kwargs["hist_categories"] = jnp.take(batch.news.category, batch.hist_idx, axis=0)
+        if with_aspects and batch.news.sentiment is not None:
+            kwargs["cand_sentiments"] = jnp.take(batch.news.sentiment, batch.cand_idx, axis=0)
+            kwargs["hist_sentiments"] = jnp.take(batch.news.sentiment, batch.hist_idx, axis=0)
+        if kwargs:
+            kwargs["hist_mask"] = batch.hist_mask
+        per_imp = ranking.per_impression(scores, batch.labels, batch.cand_mask, **kwargs)
+        loss = None
+        if loss_fn is not None:
+            loss = loss_fn(scores, batch.labels, batch.cand_mask, valid)
+        return scores, per_imp, valid, loss
+
+    return jax.jit(eval_step)

@@ -1,0 +1,32 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform.
+
+Must run before the first `import jax` anywhere in the test session, which
+pytest guarantees by importing conftest first.  This is the TPU-native analog
+of the reference's `ddp_sim` debug config (`configs/trainer/ddp_sim.yaml`):
+multi-device semantics exercised on CPU processes/devices.
+"""
+
+import os
+
+# The environment pins JAX_PLATFORMS=axon (remote TPU tunnel) and
+# pre-imports jax via sitecustomize; override BOTH the env var and the
+# already-read config so tests run on a local 8-device virtual CPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
