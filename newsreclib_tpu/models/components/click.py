@@ -18,16 +18,16 @@ def dot_product_scores(user_vec: jnp.ndarray, cand_vecs: jnp.ndarray) -> jnp.nda
 
 
 class DNNPredictor(nn.Module):
-    """DKN's MLP click predictor: concat(cand, user) → Linear→ReLU→Linear."""
+    """DKN's MLP click predictor: concat(cand, user) → Linear→ReLU→Linear.
+
+    user_vecs (..., C, D) per-candidate user vectors, cand_vecs (..., C, D)
+    → scores (..., C) — matching ``click_predictor.py:40-44``.
+    """
 
     hidden_dim: int
 
     @nn.compact
-    def __call__(self, user_vec: jnp.ndarray, cand_vecs: jnp.ndarray) -> jnp.ndarray:
-        c = cand_vecs.shape[-2]
-        user_tiled = jnp.broadcast_to(
-            user_vec[..., None, :], cand_vecs.shape[:-1] + (user_vec.shape[-1],)
-        )
-        x = jnp.concatenate([cand_vecs, user_tiled], axis=-1)
+    def __call__(self, user_vecs: jnp.ndarray, cand_vecs: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([cand_vecs, user_vecs], axis=-1)
         h = nn.relu(nn.Dense(self.hidden_dim, name="fc1")(x))
         return nn.Dense(1, name="fc2")(h)[..., 0]

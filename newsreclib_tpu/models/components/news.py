@@ -152,6 +152,14 @@ class KCNN(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        # align the entity sequence to the token sequence (DKN's data format
+        # carries one entity id per title word; pad/truncate if they differ)
+        l_tok, l_ent = tokens.shape[1], entities.shape[1]
+        if l_ent < l_tok:
+            entities = jnp.pad(entities, ((0, 0), (0, l_tok - l_ent)))
+        elif l_ent > l_tok:
+            entities = entities[:, :l_tok]
+
         words = TokenEmbedding(
             self.word_vocab_size, self.word_embed_dim, self.pretrained_words, name="word_emb"
         )(tokens)

@@ -16,8 +16,14 @@ def pairwise_cosine_similarity(
     x (B, M, D), y (B, N, D) → (B, M, N); optionally zero the diagonal
     (MINER disagreement regularization + category bias).
     """
-    xn = x / (1e-8 + jnp.linalg.norm(x, axis=-1, keepdims=True))
-    yn = y / (1e-8 + jnp.linalg.norm(y, axis=-1, keepdims=True))
+    # max-guarded sqrt: zero vectors (padded articles) normalize to zero with
+    # zero gradient instead of NaN (d/dx sqrt at 0)
+    def _normalize(v):
+        sq = jnp.sum(v * v, axis=-1, keepdims=True)
+        return v / jnp.sqrt(jnp.maximum(sq, 1e-16))
+
+    xn = _normalize(x)
+    yn = _normalize(y)
     sim = jnp.einsum("bmd,bnd->bmn", xn, yn)
     if zero_diagonal:
         assert x.shape[-2] == y.shape[-2]

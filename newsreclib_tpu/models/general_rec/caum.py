@@ -1,0 +1,101 @@
+"""CAUM — candidate-aware user modeling.
+
+Reference analog: ``newsreclib/models/general_rec/caum_module.py`` (640
+LoC): MHSAAddAtt title encoder + MHSAAddAtt entity encoder + category
+embedding, combined by linear projection to news_embed_dim
+(``caum_module.py:250-251``); candidate-aware user encoder producing scores
+directly.  The reference's per-candidate Python loop (its known hot loop)
+is replaced by the dense candidate-batched encoder in
+``components/user.py::CAUMUserEncoder``.  Defaults from
+``configs/model/caum.yaml``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import numpy as np
+
+from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.components.category import LinearEncoder
+from newsreclib_tpu.models.components.click import dot_product_scores
+from newsreclib_tpu.models.components.news import EntityAddAtt, NewsEncoder
+from newsreclib_tpu.models.components.text import MHSAAddAtt
+from newsreclib_tpu.models.components.user import CAUMUserEncoder
+
+
+class CAUM(nn.Module):
+    vocab_size: int
+    entity_vocab_size: int = 1
+    num_categories: int = 19
+    attributes2encode: Sequence[str] = ("title", "category", "title_entities")
+    text_embed_dim: int = 300
+    text_num_heads: int = 20
+    categ_embed_dim: int = 100
+    news_embed_dim: int = 400
+    entity_embed_dim: int = 100
+    entity_num_heads: int = 20
+    query_dim: int = 200
+    dropout: float = 0.2
+    user_vector_dim: int = 400
+    num_filters: int = 400
+    dense_att_hidden_dim1: int = 400
+    dense_att_hidden_dim2: int = 256
+    late_fusion: bool = False
+    pretrained_embeddings: Optional[np.ndarray] = None
+    pretrained_entity_embeddings: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        text_encoder = MHSAAddAtt(
+            vocab_size=self.vocab_size,
+            embed_dim=self.text_embed_dim,
+            num_heads=self.text_num_heads,
+            query_dim=self.query_dim,
+            dropout=self.dropout,
+            pretrained=self.pretrained_embeddings,
+            name="text_encoder",
+        )
+        entity_encoder = EntityAddAtt(
+            vocab_size=self.entity_vocab_size,
+            embed_dim=self.entity_embed_dim,
+            query_dim=self.query_dim,
+            dropout=self.dropout,
+            pretrained=self.pretrained_entity_embeddings,
+            name="entity_encoder",
+        )
+        category_encoder = LinearEncoder(
+            num_categories=self.num_categories,
+            embed_dim=self.categ_embed_dim,
+            use_dropout=False,
+            linear_transform=False,
+            name="category_encoder",
+        )
+        news_vecs = NewsEncoder(
+            attributes2encode=self.attributes2encode,
+            text_encoder=text_encoder,
+            category_encoder=category_encoder,
+            entity_encoder=entity_encoder,
+            combine_type="linear",
+            output_dim=self.news_embed_dim,
+            name="news_encoder",
+        )(batch.news, deterministic=deterministic)
+
+        hist = gather_news(news_vecs, batch.hist_idx)
+        cand = gather_news(news_vecs, batch.cand_idx)
+        if self.late_fusion:
+            user = late_fusion_user(hist, batch.hist_mask)
+            return dot_product_scores(user, cand), {}
+        scores = CAUMUserEncoder(
+            news_embed_dim=self.news_embed_dim,
+            num_filters=self.num_filters,
+            dense_att_hidden_dim1=self.dense_att_hidden_dim1,
+            dense_att_hidden_dim2=self.dense_att_hidden_dim2,
+            user_vector_dim=self.user_vector_dim,
+            num_heads=self.text_num_heads,
+            dropout=self.dropout,
+            name="user_encoder",
+        )(hist, cand, batch.hist_mask, deterministic)
+        return scores, {}

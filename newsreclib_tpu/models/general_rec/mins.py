@@ -1,0 +1,78 @@
+"""MINS — multi-interest news sequence modelling.
+
+Reference analog: ``newsreclib/models/general_rec/mins_module.py`` (558
+LoC): MHSAAddAtt text + category concat news encoder (same as LSTUR's
+composition), user encoder = MHSA → 6-channel GRU → additive attention.
+Defaults from ``configs/model/mins.yaml``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import numpy as np
+
+from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.components.category import LinearEncoder
+from newsreclib_tpu.models.components.click import dot_product_scores
+from newsreclib_tpu.models.components.news import NewsEncoder
+from newsreclib_tpu.models.components.text import MHSAAddAtt
+from newsreclib_tpu.models.components.user import MINSUserEncoder
+
+
+class MINS(nn.Module):
+    vocab_size: int
+    num_categories: int = 19
+    attributes2encode: Sequence[str] = ("title", "abstract", "category")
+    text_embed_dim: int = 300
+    categ_embed_dim: int = 100
+    num_heads: int = 15
+    query_dim: int = 200
+    dropout: float = 0.2
+    num_filters: int = 300
+    num_gru_channels: int = 6
+    late_fusion: bool = False
+    pretrained_embeddings: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        text_encoder = MHSAAddAtt(
+            vocab_size=self.vocab_size,
+            embed_dim=self.text_embed_dim,
+            num_heads=self.num_heads,
+            query_dim=self.query_dim,
+            dropout=self.dropout,
+            pretrained=self.pretrained_embeddings,
+            name="text_encoder",
+        )
+        category_encoder = LinearEncoder(
+            num_categories=self.num_categories,
+            embed_dim=self.categ_embed_dim,
+            use_dropout=False,
+            linear_transform=False,
+            name="category_encoder",
+        )
+        news_vecs = NewsEncoder(
+            attributes2encode=self.attributes2encode,
+            text_encoder=text_encoder,
+            category_encoder=category_encoder,
+            combine_type="concat",
+            name="news_encoder",
+        )(batch.news, deterministic=deterministic)
+
+        hist = gather_news(news_vecs, batch.hist_idx)
+        cand = gather_news(news_vecs, batch.cand_idx)
+        if self.late_fusion:
+            user = late_fusion_user(hist, batch.hist_mask)
+        else:
+            news_dim = news_vecs.shape[-1]
+            user = MINSUserEncoder(
+                news_embed_dim=news_dim,
+                query_dim=self.query_dim,
+                num_filters=news_dim,
+                num_gru_channels=self.num_gru_channels,
+                name="user_encoder",
+            )(hist, batch.hist_mask, deterministic)
+        return dot_product_scores(user, cand), {}

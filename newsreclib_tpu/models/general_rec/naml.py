@@ -1,0 +1,76 @@
+"""NAML — Neural news recommendation with attentive multi-view learning.
+
+Reference analog: ``newsreclib/models/general_rec/naml_module.py`` (566 LoC):
+multi-view news encoder (shared CNNAddAtt text encoder over title+abstract +
+trainable category encoder with Linear→ReLU to num_filters, combined by
+additive attention, ``naml_module.py:130-193``) + additive-attention user
+encoder.  Defaults from ``configs/model/naml.yaml``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import numpy as np
+
+from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.components.category import LinearEncoder
+from newsreclib_tpu.models.components.click import dot_product_scores
+from newsreclib_tpu.models.components.news import NewsEncoder
+from newsreclib_tpu.models.components.text import CNNAddAtt
+from newsreclib_tpu.models.components.user import NAMLUserEncoder
+
+
+class NAML(nn.Module):
+    vocab_size: int
+    num_categories: int = 19
+    attributes2encode: Sequence[str] = ("title", "abstract", "category")
+    text_embed_dim: int = 300
+    categ_embed_dim: int = 100
+    num_filters: int = 400
+    window_size: int = 3
+    query_dim: int = 200
+    dropout: float = 0.2
+    late_fusion: bool = False
+    pretrained_embeddings: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        text_encoder = CNNAddAtt(
+            vocab_size=self.vocab_size,
+            embed_dim=self.text_embed_dim,
+            num_filters=self.num_filters,
+            window_size=self.window_size,
+            query_dim=self.query_dim,
+            dropout=self.dropout,
+            pretrained=self.pretrained_embeddings,
+            name="text_encoder",
+        )
+        category_encoder = LinearEncoder(
+            num_categories=self.num_categories,
+            embed_dim=self.categ_embed_dim,
+            use_dropout=False,
+            linear_transform=True,
+            output_dim=self.num_filters,
+            name="category_encoder",
+        )
+        news_vecs = NewsEncoder(
+            attributes2encode=self.attributes2encode,
+            text_encoder=text_encoder,
+            category_encoder=category_encoder,
+            combine_type="add_att",
+            query_dim=self.query_dim,
+            name="news_encoder",
+        )(batch.news, deterministic=deterministic)
+
+        hist = gather_news(news_vecs, batch.hist_idx)
+        cand = gather_news(news_vecs, batch.cand_idx)
+        if self.late_fusion:
+            user = late_fusion_user(hist, batch.hist_mask)
+        else:
+            user = NAMLUserEncoder(query_dim=self.query_dim, name="user_encoder")(
+                hist, batch.hist_mask, deterministic
+            )
+        return dot_product_scores(user, cand), {}

@@ -1,0 +1,73 @@
+"""TANR — topic-aware news recommendation with an auxiliary topic classifier.
+
+Reference analog: ``newsreclib/models/general_rec/tanr_module.py`` (574
+LoC): CNNAddAtt title encoder + NRMS-style user encoder + a linear topic
+classifier over news vectors whose CE loss (vs the category label) is added
+with coefficient ``topic_pred_loss_coef`` (0.2)
+(``tanr_module.py:186-190,284,361-368``).
+
+TPU note: the topic loss runs over the batch's UNIQUE news vectors (each
+article counted once); the reference runs it per hist/cand occurrence.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.components.click import dot_product_scores
+from newsreclib_tpu.models.components.text import CNNAddAtt
+from newsreclib_tpu.models.components.user import NRMSUserEncoder
+
+
+class TANR(nn.Module):
+    vocab_size: int
+    num_categories: int = 19
+    embed_dim: int = 300
+    num_heads: int = 15
+    num_filters: int = 400
+    window_size: int = 3
+    query_dim: int = 200
+    dropout: float = 0.2
+    topic_pred_loss_coef: float = 0.2
+    late_fusion: bool = False
+    pretrained_embeddings: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = CNNAddAtt(
+            vocab_size=self.vocab_size,
+            embed_dim=self.embed_dim,
+            num_filters=self.num_filters,
+            window_size=self.window_size,
+            query_dim=self.query_dim,
+            dropout=self.dropout,
+            pretrained=self.pretrained_embeddings,
+            name="news_encoder",
+        )(batch.news.title, batch.news.title_mask, deterministic)
+
+        hist = gather_news(news_vecs, batch.hist_idx)
+        cand = gather_news(news_vecs, batch.cand_idx)
+        if self.late_fusion:
+            user = late_fusion_user(hist, batch.hist_mask)
+        else:
+            user = NRMSUserEncoder(
+                num_heads=self.num_heads, query_dim=self.query_dim, name="user_encoder"
+            )(hist, batch.hist_mask, deterministic)
+        scores = dot_product_scores(user, cand)
+
+        # auxiliary topic classification over unique news (valid rows only)
+        topic_logits = nn.Dense(self.num_categories, name="topic_predictor")(news_vecs)
+        news_valid = jnp.any(batch.news.title_mask, axis=-1)
+        log_probs = nn.log_softmax(topic_logits, axis=-1)
+        onehot = jax.nn.one_hot(batch.news.category, self.num_categories)
+        ce = -jnp.sum(onehot * log_probs, axis=-1)
+        v = news_valid.astype(jnp.float32)
+        topic_loss = jnp.sum(ce * v) / jnp.maximum(jnp.sum(v), 1.0)
+        return scores, {"topic_loss": self.topic_pred_loss_coef * topic_loss}
