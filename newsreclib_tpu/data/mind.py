@@ -371,12 +371,19 @@ class MINDData:
         )
 
     def num_users(self) -> int:
-        return len(_load_idx_map(self.map_path("uid2index"))) + 1
+        fpath = os.path.join(self.split_dir("train"), ID2INDEX_FILENAMES["uid2index"])
+        if not os.path.exists(fpath):
+            self.load_behaviors("train")  # builds uid2index
+        return len(_load_idx_map(fpath)) + 1
 
     def vocab_size(self) -> int:
+        if not os.path.exists(self.map_path("word2index")):
+            self.load_news("train")
         return len(_load_idx_map(self.map_path("word2index"))) + 1
 
     def num_classes(self) -> Dict[str, int]:
+        if not os.path.exists(self.map_path("categ2index")):
+            self.load_news("train")
         return {
             "category": len(_load_idx_map(self.map_path("categ2index"))) + 1,
             "subcategory": len(_load_idx_map(self.map_path("subcateg2index"))) + 1,

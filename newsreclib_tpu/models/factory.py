@@ -1,0 +1,221 @@
+"""Model factory: config dict + dataset info → flax model + loss fn.
+
+Reference analog: Hydra ``_target_`` instantiation of the per-model
+Lightning modules (``train.py:61``).  Dataset-derived sizes (vocab, user,
+class counts) and pretrained matrices are injected here rather than wired
+through config interpolation.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from newsreclib_tpu.models import general_rec
+from newsreclib_tpu.models.components.losses import get_loss_fn
+
+
+@dataclass
+class DataInfo:
+    vocab_size: int
+    num_users: int = 1
+    num_categories: int = 19
+    num_subcategories: int = 1
+    num_sent_classes: int = 4
+    entity_vocab_size: int = 1
+    pretrained_embeddings: Optional[np.ndarray] = None
+    pretrained_entity_embeddings: Optional[np.ndarray] = None
+    pretrained_categ_embeddings: Optional[np.ndarray] = None
+
+
+def _common(cfg: Dict, info: DataInfo) -> Dict[str, Any]:
+    return {
+        "vocab_size": info.vocab_size,
+        "late_fusion": cfg.get("late_fusion", False),
+        "pretrained_embeddings": info.pretrained_embeddings,
+    }
+
+
+def build_model(cfg: Dict, info: DataInfo):
+    """cfg: the ``model`` config node (must carry ``name``)."""
+    name = cfg["name"]
+    d = cfg.get("dropout_probability", 0.2)
+
+    if name == "nrms":
+        return general_rec.NRMS(
+            **_common(cfg, info),
+            embed_dim=cfg.get("embed_dim", 300),
+            num_heads=cfg.get("num_heads", 15),
+            query_dim=cfg.get("query_dim", 200),
+            dropout=d,
+        )
+    if name == "naml":
+        return general_rec.NAML(
+            **_common(cfg, info),
+            num_categories=info.num_categories,
+            attributes2encode=tuple(cfg.get("attributes2encode", ("title", "abstract", "category"))),
+            text_embed_dim=cfg.get("text_embed_dim", 300),
+            categ_embed_dim=cfg.get("categ_embed_dim", 100),
+            num_filters=cfg.get("num_filters", 400),
+            window_size=cfg.get("window_size", 3),
+            query_dim=cfg.get("query_dim", 200),
+            dropout=d,
+        )
+    if name == "lstur":
+        return general_rec.LSTUR(
+            **_common(cfg, info),
+            num_users=info.num_users,
+            num_categories=info.num_categories,
+            attributes2encode=tuple(cfg.get("attributes2encode", ("title", "abstract", "category"))),
+            text_embed_dim=cfg.get("text_embed_dim", 300),
+            categ_embed_dim=cfg.get("categ_embed_dim", 100),
+            num_filters=cfg.get("num_filters", 300),
+            window_size=cfg.get("window_size", 3),
+            query_dim=cfg.get("query_dim", 200),
+            dropout=d,
+            user_masking_probability=cfg.get("user_masking_probability", 0.5),
+            long_short_term_method=cfg.get("long_short_term_method", "ini"),
+        )
+    if name == "npa":
+        return general_rec.NPA(
+            vocab_size=info.vocab_size,
+            late_fusion=cfg.get("late_fusion", False),
+            pretrained_embeddings=info.pretrained_embeddings,
+            num_users=info.num_users,
+            text_embed_dim=cfg.get("text_embed_dim", 300),
+            user_embed_dim=cfg.get("user_embed_dim", 50),
+            num_filters=cfg.get("num_filters", 400),
+            window_size=cfg.get("window_size", 3),
+            word_pref_query_dim=cfg.get("word_pref_query_dim", 200),
+            news_pref_query_dim=cfg.get("news_pref_query_dim", 200),
+            dropout=d,
+        )
+    if name == "tanr":
+        return general_rec.TANR(
+            **_common(cfg, info),
+            num_categories=info.num_categories,
+            embed_dim=cfg.get("embed_dim", 300),
+            num_heads=cfg.get("num_heads", 15),
+            num_filters=cfg.get("num_filters", 400),
+            window_size=cfg.get("window_size", 3),
+            query_dim=cfg.get("query_dim", 200),
+            dropout=d,
+            topic_pred_loss_coef=cfg.get("topic_pred_loss_coef", 0.2),
+        )
+    if name == "caum":
+        return general_rec.CAUM(
+            **_common(cfg, info),
+            entity_vocab_size=info.entity_vocab_size,
+            num_categories=info.num_categories,
+            attributes2encode=tuple(cfg.get("attributes2encode", ("title", "category", "title_entities"))),
+            text_embed_dim=cfg.get("text_embed_dim", 300),
+            text_num_heads=cfg.get("text_num_heads", 20),
+            categ_embed_dim=cfg.get("categ_embed_dim", 100),
+            news_embed_dim=cfg.get("news_embed_dim", 400),
+            entity_embed_dim=cfg.get("entity_embed_dim", 100),
+            query_dim=cfg.get("query_dim", 200),
+            dropout=d,
+            user_vector_dim=cfg.get("user_vector_dim", 400),
+            num_filters=cfg.get("num_filters", 400),
+            dense_att_hidden_dim1=cfg.get("dense_att_hidden_dim1", 400),
+            dense_att_hidden_dim2=cfg.get("dense_att_hidden_dim2", 256),
+            pretrained_entity_embeddings=info.pretrained_entity_embeddings,
+        )
+    if name == "mins":
+        return general_rec.MINS(
+            **_common(cfg, info),
+            num_categories=info.num_categories,
+            attributes2encode=tuple(cfg.get("attributes2encode", ("title", "abstract", "category"))),
+            text_embed_dim=cfg.get("text_embed_dim", 300),
+            categ_embed_dim=cfg.get("categ_embed_dim", 100),
+            num_heads=cfg.get("num_heads", 15),
+            query_dim=cfg.get("query_dim", 200),
+            dropout=d,
+            num_gru_channels=cfg.get("num_gru_channels", 6),
+        )
+    if name == "cen_news_rec":
+        return general_rec.CenNewsRec(
+            **_common(cfg, info),
+            embed_dim=cfg.get("embed_dim", 300),
+            num_heads=cfg.get("num_heads", 20),
+            num_filters=cfg.get("num_filters", 400),
+            window_size=cfg.get("window_size", 3),
+            query_dim=cfg.get("query_dim", 200),
+            dropout=d,
+            gru_hidden_dim=cfg.get("gru_hidden_dim", 400),
+            num_recent_news=cfg.get("num_recent_news", 20),
+        )
+    if name == "dkn":
+        return general_rec.DKN(
+            vocab_size=info.vocab_size,
+            late_fusion=cfg.get("late_fusion", False),
+            pretrained_embeddings=info.pretrained_embeddings,
+            entity_vocab_size=info.entity_vocab_size,
+            text_embed_dim=cfg.get("text_embed_dim", 300),
+            entity_embed_dim=cfg.get("entity_embed_dim", 100),
+            num_filters=cfg.get("num_filters", 100),
+            window_sizes=tuple(cfg.get("window_sizes", (1, 2, 3, 4))),
+            use_context=cfg.get("use_context", True),
+            hidden_dim_dnn=cfg.get("hidden_dim_dnn", 16),
+            pretrained_entity_embeddings=info.pretrained_entity_embeddings,
+        )
+    if name == "miner":
+        return general_rec.MINER(
+            **_common(cfg, info),
+            num_categories=info.num_categories,
+            text_embed_dim=cfg.get("text_embed_dim", 300),
+            news_embed_dim=cfg.get("news_embed_dim", 256),
+            num_heads=cfg.get("num_heads", 15),
+            query_dim=cfg.get("query_dim", 200),
+            dropout=d,
+            use_categ_bias=cfg.get("use_categ_bias", True),
+            categ_embed_dim=cfg.get("categ_embed_dim", 100),
+            num_context_codes=cfg.get("num_context_codes", 32),
+            context_code_dim=cfg.get("context_code_dim", 200),
+            score_type=cfg.get("score_type", "weighted"),
+            pretrained_categ_embeddings=info.pretrained_categ_embeddings,
+        )
+    raise ValueError(f"unknown model: {name}")
+
+
+def build_loss(cfg: Dict) -> Callable:
+    return get_loss_fn(
+        cfg.get("loss", "cross_entropy_loss"),
+        temperature=cfg.get("temperature") or 0.1,
+        dual_loss_coef=cfg.get("dual_loss_coef") or 0.5,
+    )
+
+
+def load_data_info(mind_data, cfg_model: Dict) -> DataInfo:
+    """Build DataInfo from a MINDData instance + model config."""
+    classes = mind_data.num_classes()
+    emb_path = os.path.join(
+        mind_data.split_dir("train"), "transformed_word_embeddings.npy"
+    )
+    ent_path = os.path.join(
+        mind_data.split_dir("train"), "transformed_entity_embeddings.npy"
+    )
+    categ_path = os.path.join(
+        mind_data.split_dir("train"), "transformed_categ_embeddings.npy"
+    )
+    use_pretrained = cfg_model.get("use_pretrained_embeddings", True)
+    return DataInfo(
+        vocab_size=mind_data.vocab_size(),
+        num_users=mind_data.num_users(),
+        num_categories=classes["category"],
+        num_subcategories=classes["subcategory"],
+        num_sent_classes=classes["sentiment"],
+        entity_vocab_size=classes["entity"],
+        pretrained_embeddings=(
+            np.load(emb_path) if use_pretrained and os.path.exists(emb_path) else None
+        ),
+        pretrained_entity_embeddings=(
+            np.load(ent_path) if os.path.exists(ent_path) else None
+        ),
+        pretrained_categ_embeddings=(
+            np.load(categ_path) if os.path.exists(categ_path) else None
+        ),
+    )

@@ -1,0 +1,175 @@
+"""Training entry point.
+
+Reference analog: ``newsreclib/train.py`` (hydra main → instantiate data /
+model / trainer → fit → test with best ckpt → metric dict).
+
+Usage:
+    python train.py experiment=nrms_demo
+    python train.py model=naml data.batch_size=32 trainer=fdr
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import jax
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+from newsreclib_tpu.config.compose import compose
+from newsreclib_tpu.data.batching import EvalBatcher, TrainBatcher
+from newsreclib_tpu.data.mind import MINDConfig, MINDData
+from newsreclib_tpu.metrics.collector import RankingMetrics
+from newsreclib_tpu.models.factory import build_loss, build_model, load_data_info
+from newsreclib_tpu.training.loggers import make_loggers
+from newsreclib_tpu.training.state import create_train_state, make_optimizer, param_count
+from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+log = logging.getLogger("newsreclib_tpu")
+
+
+def setup_data(cfg: dict) -> MINDData:
+    dc = cfg["data"]
+    if dc.get("dataset", "mind") != "mind":
+        raise NotImplementedError(f"dataset {dc['dataset']}")
+    if dc.get("generate_fixture"):
+        from newsreclib_tpu.data.testing import write_mind_fixture
+
+        if not os.path.exists(
+            os.path.join(dc["data_dir"], f"MIND{dc['dataset_size']}_train", "news.tsv")
+        ):
+            write_mind_fixture(dc["data_dir"], dataset_size=dc["dataset_size"])
+    mind_cfg = MINDConfig(
+        data_dir=dc["data_dir"],
+        dataset_size=dc["dataset_size"],
+        valid_time_split=dc["valid_time_split"],
+        max_title_len=dc["max_title_len"],
+        max_abstract_len=dc["max_abstract_len"],
+        max_entities=dc.get("max_entities", 10),
+        entity_freq_threshold=dc.get("entity_freq_threshold", 2),
+        entity_confidence_threshold=dc.get("entity_confidence_threshold", 0.5),
+        word_embeddings_fpath=dc.get("word_embeddings_fpath"),
+        word_embed_dim=dc.get("word_embed_dim", 300),
+        sentiment_annotator=dc.get("sentiment_annotator", "lexicon"),
+        download=dc.get("download", False),
+        seed=dc.get("seed", 0),
+    )
+    return MINDData(mind_cfg)
+
+
+def _setup_logging() -> None:
+    # force=True: the axon sitecustomize / absl may have installed handlers
+    # already, which would otherwise swallow INFO records
+    logging.basicConfig(
+        level=logging.INFO, format="[%(asctime)s][%(levelname)s] %(message)s", force=True
+    )
+    logging.getLogger("jax").setLevel(logging.WARNING)
+    for noisy in ("orbax", "absl", "orbax.checkpoint"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
+
+
+def _maybe_force_platform(cfg: dict) -> None:
+    """cfg['platform'] (or $NEWSRECLIB_PLATFORM) overrides the JAX platform.
+
+    Must run before the first backend use; the container sitecustomize pins
+    JAX_PLATFORMS=axon, so a config update is the only reliable override.
+    """
+    platform = os.environ.get("NEWSRECLIB_PLATFORM") or cfg.get("platform")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+
+def run(cfg: dict) -> dict:
+    _setup_logging()
+    _maybe_force_platform(cfg)
+    out_dir = cfg["output_dir"]
+    os.makedirs(out_dir, exist_ok=True)
+    log.info("devices: %s", jax.devices())
+
+    mind = setup_data(cfg)
+    # force ETL early (reference train.py:56-58 forces prepare_data)
+    store_train = mind.news_store("train")
+    info = load_data_info(mind, cfg["model"])
+    log.info(
+        "vocab=%d users=%d categ=%d news(train)=%d",
+        info.vocab_size, info.num_users, info.num_categories, store_train.num_news,
+    )
+
+    model = build_model(cfg["model"], info)
+    loss_fn = build_loss(cfg["model"])
+    dc = cfg["data"]
+    train_batcher = TrainBatcher(
+        store_train,
+        mind.impressions("train"),
+        batch_size=dc["batch_size"],
+        max_history_len=dc["max_history_len"],
+        neg_sampling_ratio=dc["neg_sampling_ratio"],
+        seed=cfg.get("seed", 0),
+        u_bucket_min=dc.get("u_bucket_min", 512),
+    )
+    val_batcher = EvalBatcher(
+        store_train, mind.impressions("val"),
+        max_history_len=dc["max_history_len"],
+        target_cells=dc.get("eval_target_cells", 8192),
+        u_bucket_min=dc.get("u_bucket_min", 512),
+    )
+    test_batcher = EvalBatcher(
+        mind.news_store("test"), mind.impressions("test"),
+        max_history_len=dc["max_history_len"],
+        target_cells=dc.get("eval_target_cells", 8192),
+        u_bucket_min=dc.get("u_bucket_min", 512),
+    )
+
+    example = next(iter(train_batcher.epoch(0)))
+    opt_cfg = cfg["model"].get("optimizer", {})
+    state = create_train_state(
+        model,
+        example,
+        jax.random.key(cfg.get("seed", 0)),
+        make_optimizer(opt_cfg.get("lr", 1e-4), opt_cfg.get("weight_decay", 0.0)),
+    )
+    log.info("params: %d", param_count(state.params))
+
+    tc = cfg["trainer"]
+    trainer = Trainer(
+        state,
+        loss_fn,
+        TrainerConfig(
+            max_epochs=tc["max_epochs"],
+            patience=tc["patience"],
+            monitor=tc.get("monitor", "loss"),
+            mode=tc.get("mode", "min"),
+            log_every_n_steps=tc.get("log_every_n_steps", 50),
+            check_finite=tc.get("check_finite", True),
+            ckpt_dir=os.path.join(out_dir, "checkpoints"),
+            limit_train_batches=tc.get("limit_train_batches"),
+            limit_eval_batches=tc.get("limit_eval_batches"),
+        ),
+        ranking=RankingMetrics(
+            top_k_list=tuple(cfg["model"].get("top_k_list", (5, 10))),
+            num_categ_classes=info.num_categories,
+            num_sent_classes=info.num_sent_classes,
+        ),
+        loggers=make_loggers(out_dir, cfg.get("loggers", ["stdout", "csv"])),
+    )
+
+    metrics = trainer.fit(train_batcher, val_batcher)
+    if cfg.get("test_after_train", True):
+        metrics.update(trainer.test(test_batcher))
+    log.info("final metrics: %s", {k: round(v, 4) for k, v in metrics.items()})
+    return metrics
+
+
+def main() -> None:
+    cfg = compose(
+        os.path.join(REPO_ROOT, "newsreclib_tpu", "configs"), "train", sys.argv[1:]
+    )
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()
