@@ -1,0 +1,245 @@
+"""MANNeR — modular multi-aspect neural news recommendation.
+
+Reference analogs:
+  * CR-module  — ``fair_rec/manner_cr_module.py`` (521 LoC): PLM news encoder
+    (CLS pooling) over concatenated title+abstract text, optional entity
+    MHSAAddAtt tower, linear combine; late_fusion=True; SupCon loss on the
+    score slate.
+  * A-module   — ``fair_rec/manner_a_module.py`` (294 LoC): the same news
+    encoder trained with SupCon **on embeddings** against an aspect label
+    (category or sentiment) using m-per-class batches.
+  * Ensemble   — ``fair_rec/manner_module.py`` (353 LoC): test-only
+    composition; per-module late-fusion dot-product scores z-score
+    normalized per impression and combined as
+    ``scores + w_categ·categ + w_sent·sent`` (``:174-204``).
+
+The text tower is pluggable (``text_encoder_module``): PLM in the paper
+configuration, MHSAAddAtt for GloVe-style/offline runs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from newsreclib_tpu.data.batch import NewsBatch, NewsFeatures, RecBatch
+from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.components.click import dot_product_scores
+from newsreclib_tpu.models.components.news import EntityAddAtt
+from newsreclib_tpu.models.components.text import MHSAAddAtt
+from newsreclib_tpu.models.components.user import NRMSUserEncoder
+
+
+def concat_text(news: NewsFeatures):
+    """Concatenate title+abstract token streams (reference
+    ``concatenate_inputs``, ``rec_dataset.py:225-269``)."""
+    if news.abstract is None:
+        return news.title, news.title_mask
+    tokens = jnp.concatenate([news.title, news.abstract], axis=1)
+    mask = jnp.concatenate([news.title_mask, news.abstract_mask], axis=1)
+    return tokens, mask
+
+
+def concat_entities(news: NewsFeatures):
+    if news.title_entities is None:
+        return None, None
+    if news.abstract_entities is None:
+        return news.title_entities, news.title_entities_mask
+    ents = jnp.concatenate([news.title_entities, news.abstract_entities], axis=1)
+    mask = jnp.concatenate(
+        [news.title_entities_mask, news.abstract_entities_mask], axis=1
+    )
+    return ents, mask
+
+
+class MANNeRNewsEncoder(nn.Module):
+    """Shared CR/A news encoder: text tower over concatenated text
+    (+ optional entity tower), linear combine to ``text_embed_dim``."""
+
+    vocab_size: int
+    entity_vocab_size: int = 1
+    use_entities: bool = True
+    text_embed_dim: int = 300
+    entity_embed_dim: int = 100
+    num_heads: int = 15
+    query_dim: int = 200
+    dropout: float = 0.2
+    pretrained_embeddings: Optional[np.ndarray] = None
+    pretrained_entity_embeddings: Optional[np.ndarray] = None
+    text_encoder_module: Optional[nn.Module] = None  # e.g. PLM
+
+    @nn.compact
+    def __call__(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        tokens, mask = concat_text(news)
+        if self.text_encoder_module is not None:
+            text_vec = self.text_encoder_module(tokens, mask=mask, deterministic=deterministic)
+        else:
+            text_vec = MHSAAddAtt(
+                vocab_size=self.vocab_size,
+                embed_dim=self.text_embed_dim,
+                num_heads=self.num_heads,
+                query_dim=self.query_dim,
+                dropout=self.dropout,
+                pretrained=self.pretrained_embeddings,
+                name="text_encoder",
+            )(tokens, mask, deterministic)
+        vecs = [text_vec]
+        if self.use_entities:
+            ents, ents_mask = concat_entities(news)
+            if ents is not None:
+                vecs.append(
+                    EntityAddAtt(
+                        vocab_size=self.entity_vocab_size,
+                        embed_dim=self.entity_embed_dim,
+                        query_dim=self.query_dim,
+                        dropout=self.dropout,
+                        pretrained=self.pretrained_entity_embeddings,
+                        name="entity_encoder",
+                    )(ents, ents_mask, deterministic)
+                )
+        if len(vecs) == 1:
+            return vecs[0]
+        return nn.Dense(self.text_embed_dim, name="combine_linear")(
+            jnp.concatenate(vecs, axis=-1)
+        )
+
+
+class MANNeRCR(nn.Module):
+    """CR-module: content recommendation with SupCon; late fusion default."""
+
+    vocab_size: int
+    entity_vocab_size: int = 1
+    use_entities: bool = True
+    text_embed_dim: int = 300
+    entity_embed_dim: int = 100
+    num_heads: int = 15
+    query_dim: int = 200
+    dropout: float = 0.2
+    late_fusion: bool = True
+    pretrained_embeddings: Optional[np.ndarray] = None
+    pretrained_entity_embeddings: Optional[np.ndarray] = None
+    text_encoder_module: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = MANNeRNewsEncoder(
+            vocab_size=self.vocab_size,
+            entity_vocab_size=self.entity_vocab_size,
+            use_entities=self.use_entities,
+            text_embed_dim=self.text_embed_dim,
+            entity_embed_dim=self.entity_embed_dim,
+            num_heads=self.num_heads,
+            query_dim=self.query_dim,
+            dropout=self.dropout,
+            pretrained_embeddings=self.pretrained_embeddings,
+            pretrained_entity_embeddings=self.pretrained_entity_embeddings,
+            text_encoder_module=self.text_encoder_module,
+            name="news_encoder",
+        )(batch.news, deterministic)
+        hist = gather_news(news_vecs, batch.hist_idx)
+        cand = gather_news(news_vecs, batch.cand_idx)
+        if self.late_fusion:
+            user = late_fusion_user(hist, batch.hist_mask)
+        else:
+            user = NRMSUserEncoder(
+                num_heads=self.num_heads, query_dim=self.query_dim, name="user_encoder"
+            )(hist, batch.hist_mask, deterministic)
+        return dot_product_scores(user, cand), {}
+
+
+class MANNeRA(nn.Module):
+    """A-module: aspect-specialized embedding space via SupCon on news
+    batches (``manner_a_module.py:152-154``)."""
+
+    vocab_size: int
+    entity_vocab_size: int = 1
+    use_entities: bool = True
+    text_embed_dim: int = 300
+    entity_embed_dim: int = 100
+    num_heads: int = 15
+    query_dim: int = 200
+    dropout: float = 0.2
+    pretrained_embeddings: Optional[np.ndarray] = None
+    pretrained_entity_embeddings: Optional[np.ndarray] = None
+    text_encoder_module: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        return MANNeRNewsEncoder(
+            vocab_size=self.vocab_size,
+            entity_vocab_size=self.entity_vocab_size,
+            use_entities=self.use_entities,
+            text_embed_dim=self.text_embed_dim,
+            entity_embed_dim=self.entity_embed_dim,
+            num_heads=self.num_heads,
+            query_dim=self.query_dim,
+            dropout=self.dropout,
+            pretrained_embeddings=self.pretrained_embeddings,
+            pretrained_entity_embeddings=self.pretrained_entity_embeddings,
+            text_encoder_module=self.text_encoder_module,
+            name="news_encoder",
+        )(news, deterministic)
+
+
+def supcon_embedding_loss(
+    embeddings: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+    temperature: float = 0.1,
+) -> jnp.ndarray:
+    """Supervised contrastive loss on embeddings with dot-product similarity
+    (pytorch-metric-learning ``SupConLoss(distance=DotProductSimilarity)``
+    semantics, AvgNonZero reduction)."""
+    n = embeddings.shape[0]
+    if valid is None:
+        valid = jnp.ones(n, dtype=bool)
+    sim = embeddings @ embeddings.T / temperature
+    same = labels[:, None] == labels[None, :]
+    eye = jnp.eye(n, dtype=bool)
+    vpair = valid[:, None] & valid[None, :] & ~eye
+    pos = same & vpair
+    m = jax.lax.stop_gradient(jnp.max(jnp.where(vpair, sim, -1e30), axis=1, keepdims=True))
+    denom = jnp.log(jnp.sum(jnp.where(vpair, jnp.exp(sim - m), 0.0), axis=1)) + m[:, 0]
+    log_prob = sim - denom[:, None]
+    n_pos = jnp.sum(pos, axis=1).astype(jnp.float32)
+    mean_log_prob_pos = jnp.sum(jnp.where(pos, log_prob, 0.0), axis=1) / jnp.maximum(n_pos, 1.0)
+    per_anchor = jnp.where((n_pos > 0) & valid, -mean_log_prob_pos, 0.0)
+    nz = (per_anchor != 0).astype(jnp.float32)
+    return jnp.sum(per_anchor) / jnp.maximum(jnp.sum(nz), 1.0)
+
+
+def zscore_per_impression(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-impression z-normalization over valid candidates
+    (``manner_module.py:174-188``)."""
+    m = mask.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
+    mean = jnp.sum(scores * m, axis=-1, keepdims=True) / n
+    var = jnp.sum(((scores - mean) ** 2) * m, axis=-1, keepdims=True) / n
+    return jnp.where(mask, (scores - mean) / jnp.sqrt(var + 1e-8), 0.0)
+
+
+def manner_ensemble_scores(
+    cr_scores: jnp.ndarray,
+    aspect_scores: Dict[str, jnp.ndarray],
+    weights: Dict[str, float],
+    cand_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Weighted sum of per-impression z-scored module scores
+    (``manner_module.py:190-204``)."""
+    total = zscore_per_impression(cr_scores, cand_mask)
+    for name, s in aspect_scores.items():
+        total = total + weights.get(name, 0.0) * zscore_per_impression(s, cand_mask)
+    return total
+
+
+def aspect_module_scores(a_apply, a_params, batch: RecBatch) -> jnp.ndarray:
+    """Late-fusion dot-product scores from an A-module embedding space."""
+    news_vecs = a_apply({"params": a_params}, batch.news, deterministic=True)
+    hist = gather_news(news_vecs, batch.hist_idx)
+    cand = gather_news(news_vecs, batch.cand_idx)
+    user = late_fusion_user(hist, batch.hist_mask)
+    return dot_product_scores(user, cand)

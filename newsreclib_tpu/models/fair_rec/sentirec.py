@@ -1,0 +1,85 @@
+"""SentiRec — sentiment-diversity-aware news recommendation.
+
+Reference analog: ``newsreclib/models/fair_rec/sentirec_module.py`` (570
+LoC): NRMS backbone + a linear sentiment-score regression head over news
+vectors; loss += ``sent_pred_loss_coef``(0.4) × L1(pred, target) +
+``sent_div_loss_coef``(10) × mean(relu(user_mean_sent × cand_sent × score))
+(``sentirec_module.py:348-366``).
+
+Note: the reference's ``model_step`` rebinds ``sent_scores`` to the TARGETS
+before computing ``sent_pred_loss(sent_scores.flatten(), sent_scores)`` — an
+always-zero loss (a bug).  This implementation applies the intended
+semantics: L1 between the prediction head's output and the annotated
+sentiment scores.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.components.click import dot_product_scores
+from newsreclib_tpu.models.components.text import MHSAAddAtt
+from newsreclib_tpu.models.components.user import NRMSUserEncoder
+
+
+class SentiRec(nn.Module):
+    vocab_size: int
+    embed_dim: int = 300
+    num_heads: int = 15
+    query_dim: int = 200
+    dropout: float = 0.2
+    sent_pred_loss_coef: float = 0.4
+    sent_div_loss_coef: float = 10.0
+    late_fusion: bool = False
+    pretrained_embeddings: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = MHSAAddAtt(
+            vocab_size=self.vocab_size,
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            query_dim=self.query_dim,
+            dropout=self.dropout,
+            pretrained=self.pretrained_embeddings,
+            name="news_encoder",
+        )(batch.news.title, batch.news.title_mask, deterministic)
+
+        hist = gather_news(news_vecs, batch.hist_idx)
+        cand = gather_news(news_vecs, batch.cand_idx)
+        if self.late_fusion:
+            user = late_fusion_user(hist, batch.hist_mask)
+        else:
+            user = NRMSUserEncoder(
+                num_heads=self.num_heads, query_dim=self.query_dim, name="user_encoder"
+            )(hist, batch.hist_mask, deterministic)
+        scores = dot_product_scores(user, cand)
+
+        # sentiment regression head over unique news (each article once)
+        pred_sent = nn.Dense(1, name="sent_predictor")(news_vecs)[..., 0]
+        news_valid = jnp.any(batch.news.title_mask, axis=-1).astype(jnp.float32)
+        l1 = jnp.abs(pred_sent - batch.news.sentiment_score) * news_valid
+        sent_pred_loss = jnp.sum(l1) / jnp.maximum(jnp.sum(news_valid), 1.0)
+
+        # sentiment-diversity regularization
+        hist_sent = jnp.take(batch.news.sentiment_score, batch.hist_idx, axis=0)
+        cand_sent = jnp.take(batch.news.sentiment_score, batch.cand_idx, axis=0)
+        hm = batch.hist_mask.astype(jnp.float32)
+        user_mean_sent = jnp.sum(hist_sent * hm, axis=1) / jnp.maximum(
+            jnp.sum(hm, axis=1), 1.0
+        )
+        cm = batch.cand_mask.astype(jnp.float32)
+        div_terms = nn.relu(user_mean_sent[:, None] * cand_sent * scores) * cm
+        sent_div_loss = jnp.sum(div_terms) / jnp.maximum(jnp.sum(cm), 1.0)
+
+        aux = {
+            "sent_pred_loss": self.sent_pred_loss_coef * sent_pred_loss,
+            "sent_div_loss": self.sent_div_loss_coef * sent_div_loss,
+        }
+        return scores, aux
