@@ -32,18 +32,24 @@ class NRMS(nn.Module):
     dropout: float = 0.2
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
+    text_encoder_module: Optional[nn.Module] = None  # e.g. PLMTextEncoder
 
     @nn.compact
     def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = MHSAAddAtt(
-            vocab_size=self.vocab_size,
-            embed_dim=self.embed_dim,
-            num_heads=self.num_heads,
-            query_dim=self.query_dim,
-            dropout=self.dropout,
-            pretrained=self.pretrained_embeddings,
-            name="news_encoder",
-        )(batch.news.title, batch.news.title_mask, deterministic)
+        if self.text_encoder_module is not None:
+            news_vecs = self.text_encoder_module(
+                batch.news.title, mask=batch.news.title_mask, deterministic=deterministic
+            )
+        else:
+            news_vecs = MHSAAddAtt(
+                vocab_size=self.vocab_size,
+                embed_dim=self.embed_dim,
+                num_heads=self.num_heads,
+                query_dim=self.query_dim,
+                dropout=self.dropout,
+                pretrained=self.pretrained_embeddings,
+                name="news_encoder",
+            )(batch.news.title, batch.news.title_mask, deterministic)
 
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)

@@ -26,9 +26,15 @@ def make_optimizer(
     warmup_steps: int = 0,
     total_steps: int = 0,
     grad_clip_norm: Optional[float] = None,
+    freeze_labels: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """Adam (reference default, ``configs/model/nrms.yaml``) with optional
-    cosine/warmup schedule and gradient clipping."""
+    cosine/warmup schedule, gradient clipping, and parameter freezing.
+
+    ``freeze_labels``: a pytree of 'train'/'freeze' labels (see
+    ``plm.plm_freeze_labels``) — 'freeze' params get zero updates, the optax
+    equivalent of ``requires_grad=False`` (reference ``text.py:70-73``).
+    """
     if scheduler == "cosine":
         lr = optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1)
@@ -44,6 +50,10 @@ def make_optimizer(
     )
     if grad_clip_norm:
         opt = optax.chain(optax.clip_by_global_norm(grad_clip_norm), opt)
+    if freeze_labels is not None:
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, freeze_labels
+        )
     return opt
 
 
