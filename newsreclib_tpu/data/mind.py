@@ -248,14 +248,18 @@ class MINDData:
     def _build_entity_map(self, news: pd.DataFrame) -> Dict[str, int]:
         """Frequency x confidence filtered entity map
         (``mind_dataframe.py:617-638``)."""
-        freq: Dict[str, int] = {}
+        freq: Dict[str, float] = {}
         for col in ("title_entities", "abstract_entities"):
             for row in news[col]:
                 for ent in _parse_entities(row):
-                    if float(ent.get("Confidence", 0.0)) > self.cfg.entity_confidence_threshold:
-                        wid = ent.get("WikidataId")
-                        if wid:
-                            freq[wid] = freq.get(wid, 0) + 1
+                    # weighted count: occurrences x confidence
+                    # (mind_dataframe._count_entity_freq semantics)
+                    times = len(ent.get("OccurrenceOffsets", []) or []) * float(
+                        ent.get("Confidence", 0.0)
+                    )
+                    wid = ent.get("WikidataId")
+                    if wid and times > 0:
+                        freq[wid] = freq.get(wid, 0.0) + times
         out: Dict[str, int] = {}
         for wid, f in freq.items():
             if f > self.cfg.entity_freq_threshold:

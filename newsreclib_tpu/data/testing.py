@@ -50,7 +50,11 @@ def write_mind_fixture(
             title = _title(rng)
             abstract = _title(rng) if rng.random() > 0.2 else ""
             ents = [
-                {"WikidataId": str(rng.choice(entities)), "Confidence": float(rng.random())}
+                {
+                    "WikidataId": str(rng.choice(entities)),
+                    "Confidence": float(rng.random()),
+                    "OccurrenceOffsets": [int(rng.integers(0, 30))],
+                }
                 for _ in range(rng.integers(0, 3))
             ]
             rows.append(
@@ -107,3 +111,51 @@ def write_mind_fixture(
         for w in _WORDS[:30]:
             vec = rng.normal(size=300)
             f.write(w + " " + " ".join(f"{v:.4f}" for v in vec) + "\n")
+
+
+def write_adressa_fixture(
+    data_dir: str,
+    num_news: int = 60,
+    num_users: int = 25,
+    events_per_day: int = 120,
+    num_days: int = 7,
+    seed: int = 0,
+) -> str:
+    """Write a tar.gz of newline-JSON event files in the raw Adressa one_week
+    layout (one member per day, day index = last char of the member name).
+    Returns the tar path (``<data_dir>/one_week.tar.gz``)."""
+    import io
+    import json
+    import tarfile
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(data_dir, exist_ok=True)
+    tar_path = os.path.join(data_dir, "one_week.tar.gz")
+    cats = ["nyheter|innenriks", "sport|fotball", "kultur|musikk", "okonomi"]
+    news = [
+        {
+            "id": f"art{i}",
+            "title": _title(rng),
+            "category1": cats[int(rng.integers(0, len(cats)))],
+        }
+        for i in range(num_news)
+    ]
+    with tarfile.open(tar_path, "w:gz") as tar:
+        for day in range(1, num_days + 1):
+            lines = []
+            base_time = 1483225200 + day * 86400
+            for _ in range(events_per_day):
+                art = news[int(rng.integers(0, num_news))]
+                ev = {
+                    "id": art["id"],
+                    "title": art["title"],
+                    "category1": art["category1"],
+                    "userId": f"cx:{int(rng.integers(0, num_users))}",
+                    "time": int(base_time + rng.integers(0, 86400)),
+                }
+                lines.append(json.dumps(ev))
+            blob = ("\n".join(lines) + "\n").encode("utf-8")
+            info = tarfile.TarInfo(name=f"one_week/2017010{day}")
+            info.size = len(blob)
+            tar.addfile(info, io.BytesIO(blob))
+    return tar_path
