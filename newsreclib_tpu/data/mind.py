@@ -198,6 +198,8 @@ class MINDData:
             _to_tsv(pd.DataFrame(subcateg2index.items(), columns=["subcategory", "index"]), self.map_path("subcateg2index"))
             _to_tsv(pd.DataFrame(sentiment2index.items(), columns=["sentiment", "index"]), self.map_path("sentiment2index"))
         else:
+            if not os.path.exists(self.map_path("word2index")):
+                self.load_news("train")  # dev/test depend on train-built maps
             word2index = _load_idx_map(self.map_path("word2index"))
             entity2index = _load_idx_map(self.map_path("entity2index"))
             categ2index = _load_idx_map(self.map_path("categ2index"))
@@ -325,9 +327,10 @@ class MINDData:
         else:
             if split == "val":
                 bhv = bhv.loc[bhv["time"] >= pd.Timestamp(self.cfg.valid_time_split)].reset_index(drop=True)
-            uid2index = _load_idx_map(
-                os.path.join(self.split_dir("train"), ID2INDEX_FILENAMES["uid2index"])
-            )
+            uid_path = os.path.join(self.split_dir("train"), ID2INDEX_FILENAMES["uid2index"])
+            if not os.path.exists(uid_path):
+                self.load_behaviors("train")  # builds uid2index
+            uid2index = _load_idx_map(uid_path)
 
         bhv["user"] = bhv["uid"].map(lambda u: uid2index.get(u, 0))
         bhv = bhv[["uid", "user", "history", "candidates", "labels"]]

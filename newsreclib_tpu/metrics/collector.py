@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -79,6 +80,68 @@ class RankingMetrics:
                     scores, cand_sentiments, cand_mask,
                     hist_sentiments, hist_mask, k, self.num_sent_classes,
                 )
+        return out
+
+
+class StreamingEval:
+    """Device-side streaming evaluation: accumulate metric sums and pooled
+    AUC inputs on device, fetch scalars ONCE at epoch end.
+
+    On the axon-tunneled TPU every host fetch costs a ~30ms round trip;
+    fetching a dozen arrays per batch made eval epochs latency-bound.  This
+    wrapper keeps the whole epoch async: per batch it dispatches the jitted
+    eval step plus one tiny accumulation step, holding AUC inputs as device
+    arrays, and synchronizes only in ``finalize``.
+    """
+
+    def __init__(self, collect_auc: bool = True):
+        self.collect_auc = collect_auc
+        self._sums = None
+        self._count = None
+        self._loss_sum = None
+        self._loss_n = 0
+        self._parts: List = []
+
+        @jax.jit
+        def _accum(sums, count, per_imp, valid):
+            v = valid.astype(jnp.float32)
+            new_sums = {k: sums[k] + jnp.sum(per_imp[k] * v) for k in per_imp}
+            return new_sums, count + jnp.sum(v)
+
+        self._accum_fn = _accum
+
+        @jax.jit
+        def _flat(scores, labels, cand_mask, valid):
+            w = (cand_mask & valid[:, None]).astype(jnp.float32)
+            return scores.ravel(), (labels * w).ravel(), w.ravel()
+
+        self._flat_fn = _flat
+
+    def update(self, scores, per_imp, valid, labels=None, cand_mask=None, loss=None):
+        if self._sums is None:
+            self._sums = {k: jnp.zeros((), jnp.float32) for k in per_imp}
+            self._count = jnp.zeros((), jnp.float32)
+        self._sums, self._count = self._accum_fn(self._sums, self._count, per_imp, valid)
+        if self.collect_auc and labels is not None:
+            self._parts.append(
+                self._flat_fn(scores, jnp.asarray(labels), jnp.asarray(cand_mask), valid)
+            )
+        if loss is not None:
+            self._loss_sum = loss if self._loss_sum is None else self._loss_sum + loss
+            self._loss_n += 1
+
+    def finalize(self) -> Dict[str, float]:
+        if self._sums is None:
+            return {}
+        count = float(self._count)
+        out = {k: float(v) / max(count, 1.0) for k, v in self._sums.items()}
+        if self._parts:
+            preds = jnp.concatenate([p[0] for p in self._parts])
+            targets = jnp.concatenate([p[1] for p in self._parts])
+            weights = jnp.concatenate([p[2] for p in self._parts])
+            out["auc"] = float(F.binary_auc_weighted(preds, targets, weights))
+        if self._loss_n:
+            out["loss"] = float(self._loss_sum) / self._loss_n
         return out
 
 

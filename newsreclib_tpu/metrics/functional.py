@@ -65,6 +65,33 @@ def binary_auc(preds: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def binary_auc_weighted(
+    preds: jnp.ndarray, targets: jnp.ndarray, weights: jnp.ndarray
+) -> jnp.ndarray:
+    """Pooled binary AUROC over entries with weight 1 (0 = masked/padding).
+
+    Device-side variant used by the streaming eval paths: masked entries are
+    pushed to -inf so every valid entry's rank among ALL entries exceeds its
+    rank among valid entries by exactly the masked count, which is then
+    subtracted.  Equivalent to ``binary_auc`` on the weight-1 subset.
+    """
+    w = weights.astype(jnp.float32)
+    preds = jnp.where(w > 0, preds.astype(jnp.float32), -jnp.inf)
+    targets = targets.astype(jnp.float32) * w
+    n_masked = jnp.sum(1.0 - w)
+    sorted_preds = jnp.sort(preds)
+    left = jnp.searchsorted(sorted_preds, preds, side="left")
+    right = jnp.searchsorted(sorted_preds, preds, side="right")
+    avg_rank = (left + right + 1).astype(jnp.float32) / 2.0 - n_masked
+    n_pos = jnp.sum(targets)
+    n_neg = jnp.sum(w) - n_pos
+    rank_sum_pos = jnp.sum(avg_rank * targets)
+    u = rank_sum_pos - n_pos * (n_pos + 1.0) / 2.0
+    return jnp.where(
+        (n_pos > 0) & (n_neg > 0), u / jnp.maximum(n_pos * n_neg, 1.0), 0.0
+    )
+
+
 def mrr(scores: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Per-impression reciprocal rank of the first relevant candidate.
 

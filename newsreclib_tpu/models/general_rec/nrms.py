@@ -7,7 +7,10 @@ embed 300, heads 15, query 200, dropout 0.2.
 
 TPU-native structure: the title encoder runs ONCE over the batch's unique
 news table ``(U, L)``; history/candidate slots gather from it.  The
-reference re-encodes each occurrence (``nrms_module.py:231-237``).
+reference re-encodes each occurrence (``nrms_module.py:231-237``).  For
+serving/eval, ``encode_news`` + ``score_with_vectors`` split the model so a
+per-epoch news-vector cache can skip re-encoding entirely
+(``newsreclib_tpu/serving.py``).
 """
 
 from __future__ import annotations
@@ -15,9 +18,10 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax.numpy as jnp
 import numpy as np
 
-from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
 from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.text import MHSAAddAtt
@@ -34,32 +38,41 @@ class NRMS(nn.Module):
     pretrained_embeddings: Optional[np.ndarray] = None
     text_encoder_module: Optional[nn.Module] = None  # e.g. PLMTextEncoder
 
-    @nn.compact
-    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+    def setup(self):
         if self.text_encoder_module is not None:
-            news_vecs = self.text_encoder_module(
-                batch.news.title, mask=batch.news.title_mask, deterministic=deterministic
-            )
+            self.news_encoder = self.text_encoder_module
         else:
-            news_vecs = MHSAAddAtt(
+            self.news_encoder = MHSAAddAtt(
                 vocab_size=self.vocab_size,
                 embed_dim=self.embed_dim,
                 num_heads=self.num_heads,
                 query_dim=self.query_dim,
                 dropout=self.dropout,
                 pretrained=self.pretrained_embeddings,
-                name="news_encoder",
-            )(batch.news.title, batch.news.title_mask, deterministic)
+            )
+        if not self.late_fusion:
+            self.user_encoder = NRMSUserEncoder(
+                num_heads=self.num_heads, query_dim=self.query_dim
+            )
 
+    def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        """(U, L) unique news → (U, D) vectors (cacheable)."""
+        return self.news_encoder(
+            news.title, mask=news.title_mask, deterministic=deterministic
+        )
+
+    def score_with_vectors(
+        self, batch: RecBatch, news_vecs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Score a batch whose hist/cand indices point into ``news_vecs``."""
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)
-
         if self.late_fusion:
             user = late_fusion_user(hist, batch.hist_mask)
         else:
-            user = NRMSUserEncoder(
-                num_heads=self.num_heads, query_dim=self.query_dim, name="user_encoder"
-            )(hist, batch.hist_mask, deterministic)
+            user = self.user_encoder(hist, batch.hist_mask, deterministic)
+        return dot_product_scores(user, cand)
 
-        scores = dot_product_scores(user, cand)
-        return scores, {}
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = self.encode_news(batch.news, deterministic)
+        return self.score_with_vectors(batch, news_vecs, deterministic), {}

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from newsreclib_tpu.data.batching import EvalBatcher, TrainBatcher
-from newsreclib_tpu.metrics.collector import EvalCollector, RankingMetrics
+from newsreclib_tpu.metrics.collector import RankingMetrics, StreamingEval
 from newsreclib_tpu.training.checkpoint import Checkpointer
 from newsreclib_tpu.training.state import TrainState
 from newsreclib_tpu.training.steps import make_eval_step, make_train_step
@@ -90,20 +90,20 @@ class Trainer:
         return out
 
     def evaluate(self, batcher: EvalBatcher, prefix: str = "val") -> Dict[str, float]:
-        coll = EvalCollector()
+        # device-side streaming accumulation: one host sync per epoch (the
+        # axon tunnel charges ~30ms per fetch; see StreamingEval)
+        stream = StreamingEval(collect_auc=self.collect_auc_inputs)
         for i, batch in enumerate(batcher):
             if self.cfg.limit_eval_batches and i >= self.cfg.limit_eval_batches:
                 break
             scores, per_imp, valid, loss = self.eval_step(self.state, batch)
-            coll.update(
-                {k: np.asarray(v) for k, v in per_imp.items()},
-                np.asarray(valid),
-                np.asarray(scores) if self.collect_auc_inputs else None,
+            stream.update(
+                scores, per_imp, valid,
                 batch.labels if self.collect_auc_inputs else None,
-                np.asarray(batch.cand_mask) if self.collect_auc_inputs else None,
-                float(loss) if loss is not None else None,
+                batch.cand_mask if self.collect_auc_inputs else None,
+                loss,
             )
-        metrics = coll.compute()
+        metrics = stream.finalize()
         return {f"{prefix}/{k}": v for k, v in metrics.items()}
 
     def fit(

@@ -1,0 +1,63 @@
+"""Cached serving path: news-vector table + cached eval must reproduce the
+uncached eval metrics exactly."""
+
+import jax
+import numpy as np
+import pytest
+
+from newsreclib_tpu.data.batching import EvalBatcher
+from newsreclib_tpu.data.mind import MINDConfig, MINDData
+from newsreclib_tpu.data.testing import write_mind_fixture
+from newsreclib_tpu.metrics.collector import EvalCollector
+from newsreclib_tpu.models.general_rec import NRMS
+from newsreclib_tpu.serving import CachedScorer, build_news_vector_table
+from newsreclib_tpu.training.state import create_train_state, make_optimizer
+from newsreclib_tpu.training.steps import make_eval_step
+from newsreclib_tpu.data.batching import TrainBatcher
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("serve"))
+    write_mind_fixture(data_dir, num_news=100, num_train_behaviors=80, num_dev_behaviors=50)
+    mind = MINDData(MINDConfig(data_dir=data_dir, dataset_size="demo",
+                               sentiment_annotator="lexicon"))
+    store = mind.news_store("test")
+    imp = mind.impressions("test")
+    model = NRMS(vocab_size=mind.vocab_size(), embed_dim=60, num_heads=6, query_dim=32)
+    example = next(iter(TrainBatcher(store, mind.impressions("train"), batch_size=4,
+                                     max_history_len=8, u_bucket_min=64).epoch(0)))
+    state = create_train_state(model, example, jax.random.key(0), make_optimizer())
+    return mind, store, imp, model, state
+
+
+def test_vector_table_matches_batch_encoding(setup):
+    mind, store, imp, model, state = setup
+    table = build_news_vector_table(model, state.params, store, batch_size=64)
+    assert table.shape[0] == store.title.shape[0]
+    assert np.allclose(np.asarray(table[0]), 0.0)
+    # direct encoding of a row slice must match the table
+    rows = np.arange(0, 64)
+    feats = store.features_for(rows)
+    direct = model.apply({"params": state.params}, feats, deterministic=True,
+                         method="encode_news")
+    np.testing.assert_allclose(np.asarray(direct[1:]), np.asarray(table[rows][1:]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_cached_eval_matches_uncached(setup):
+    mind, store, imp, model, state = setup
+    # uncached path
+    eval_step = make_eval_step()
+    coll = EvalCollector()
+    for batch in EvalBatcher(store, imp, max_history_len=8, target_cells=64, u_bucket_min=64):
+        scores, per_imp, valid, _ = eval_step(state, batch)
+        coll.update({k: np.asarray(v) for k, v in per_imp.items()}, np.asarray(valid),
+                    np.asarray(scores), batch.labels, np.asarray(batch.cand_mask))
+    uncached = coll.compute()
+
+    cached = CachedScorer(model).evaluate(
+        state.params, store, imp, max_history_len=8, target_cells=64
+    )
+    for k, v in uncached.items():
+        assert abs(cached[k] - v) < 2e-4, (k, cached[k], v)
