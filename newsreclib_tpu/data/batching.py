@@ -84,6 +84,31 @@ class Impressions:
             None if user_ids is None else np.asarray(user_ids),
         )
 
+    def padded_history(self, max_len: int) -> np.ndarray:
+        """(N, max_len) truncated-padded history matrix — vectorized batch
+        assembly gathers rows from this instead of per-row Python loops."""
+        n = len(self)
+        lens = np.minimum(np.diff(self.hist_offsets), max_len)
+        out = np.zeros((n, max_len), dtype=np.int32)
+        pos = np.arange(max_len)[None, :]
+        take = pos < lens[:, None]
+        flat_idx = (self.hist_offsets[:-1, None] + pos)[take]
+        out[take] = self.hist_flat[flat_idx]
+        return out
+
+    def padded_candidates(self, max_len: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(N, max_len) candidates + labels, truncated-padded."""
+        n = len(self)
+        lens = np.minimum(np.diff(self.cand_offsets), max_len)
+        cands = np.zeros((n, max_len), dtype=np.int32)
+        labels = np.zeros((n, max_len), dtype=np.float32)
+        pos = np.arange(max_len)[None, :]
+        take = pos < lens[:, None]
+        flat_idx = (self.cand_offsets[:-1, None] + pos)[take]
+        cands[take] = self.cand_flat[flat_idx]
+        labels[take] = self.labels_flat[flat_idx]
+        return cands, labels
+
 
 def _dedup(
     store: NewsStore,
@@ -127,16 +152,22 @@ class TrainBatcher:
         self.seed = seed
         self.u_bucket_min = u_bucket_min
         self.drop_last = drop_last
-        # explode: one training sample per positive
-        pos_imp: List[int] = []
-        pos_cand: List[int] = []
-        for i in range(len(impressions)):
-            s, e = impressions.cand_offsets[i], impressions.cand_offsets[i + 1]
-            for j in np.nonzero(impressions.labels_flat[s:e])[0]:
-                pos_imp.append(i)
-                pos_cand.append(int(impressions.cand_flat[s + j]))
-        self.sample_imp = np.asarray(pos_imp, dtype=np.int64)
-        self.sample_pos = np.asarray(pos_cand, dtype=np.int32)
+        # explode: one training sample per positive (vectorized over the CSR)
+        pos_flat = np.nonzero(impressions.labels_flat)[0]
+        self.sample_imp = (
+            np.searchsorted(impressions.cand_offsets, pos_flat, side="right") - 1
+        ).astype(np.int64)
+        self.sample_pos = impressions.cand_flat[pos_flat].astype(np.int32)
+
+        # precomputed padded views for vectorized batch assembly
+        self._hist_pad = impressions.padded_history(max_history_len)
+        max_c = int(np.max(np.diff(impressions.cand_offsets))) if len(impressions) else 1
+        cand_pad, label_pad = impressions.padded_candidates(max_c)
+        neg_mask = (label_pad == 0) & (cand_pad != 0)
+        self._neg_counts = neg_mask.sum(axis=1).astype(np.int32)
+        order = np.argsort(~neg_mask, axis=1, kind="stable")  # negatives first
+        self._negs_pad = np.take_along_axis(cand_pad, order, axis=1)
+        self._max_c = max_c
 
     def __len__(self) -> int:
         n = len(self.sample_imp)
@@ -146,41 +177,50 @@ class TrainBatcher:
         return len(self.sample_imp)
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[RecBatch]:
+        """Fully vectorized assembly: gathers from precomputed padded arrays,
+        distinct negatives via random-key argsort (replacement fallback via
+        modulo when an impression has fewer than K negatives, mirroring
+        ``rec_dataset.py:78-88``)."""
         rng = np.random.default_rng((self.seed, epoch_idx))
         order = rng.permutation(len(self.sample_imp))
         b, h, c = self.batch_size, self.max_history_len, self.k + 1
-        n_batches = len(self)
-        for bi in range(n_batches):
+        for bi in range(len(self)):
             sel = order[bi * b : (bi + 1) * b]
-            if len(sel) < b and self.drop_last:
+            nsel = len(sel)
+            if nsel < b and self.drop_last:
                 break
+            imp_ids = self.sample_imp[sel]
             hist_idx = np.zeros((b, h), dtype=np.int32)
+            hist_idx[:nsel] = self._hist_pad[imp_ids]
+
+            # sample K negatives per row without replacement (argsort of
+            # random keys over that row's compacted negative pool)
+            n_negs = self._neg_counts[imp_ids]  # (nsel,)
+            keys = rng.random((nsel, self._max_c))
+            keys[np.arange(self._max_c)[None, :] >= n_negs[:, None]] = np.inf
+            pick = np.argsort(keys, axis=1)[:, : self.k]  # (nsel, K)
+            # fewer than K negatives → wrap around (sampling w/ replacement)
+            safe_n = np.maximum(n_negs, 1)[:, None]
+            pick = np.where(
+                np.arange(self.k)[None, :] < n_negs[:, None], pick, pick % safe_n
+            )
+            negs = np.take_along_axis(self._negs_pad[imp_ids], pick, axis=1)
+            negs[n_negs == 0] = 0
+
+            slate = np.concatenate([self.sample_pos[sel][:, None], negs], axis=1)
+            lab = np.zeros((nsel, c), dtype=np.float32)
+            lab[:, 0] = 1.0
+            perm = np.argsort(rng.random((nsel, c)), axis=1)
             cand_idx = np.zeros((b, c), dtype=np.int32)
             labels = np.zeros((b, c), dtype=np.float32)
+            cand_idx[:nsel] = np.take_along_axis(slate, perm, axis=1)
+            labels[:nsel] = np.take_along_axis(lab, perm, axis=1)
+
             user_idx = np.zeros(b, dtype=np.int32)
+            user_idx[:nsel] = self.imp.user_idx[imp_ids]
             valid = np.zeros(b, dtype=bool)
-            for row, s in enumerate(sel):
-                i = self.sample_imp[s]
-                hist = self.imp.hist(i)[:h]
-                hist_idx[row, : len(hist)] = hist
-                cands, labs = self.imp.cands(i)
-                negs = cands[labs == 0]
-                if len(negs) >= self.k:
-                    neg_sample = rng.choice(negs, self.k, replace=False)
-                else:
-                    neg_sample = (
-                        rng.choice(negs, self.k, replace=True)
-                        if len(negs)
-                        else np.zeros(self.k, dtype=np.int32)
-                    )
-                slate = np.concatenate([[self.sample_pos[s]], neg_sample])
-                lab = np.zeros(c, dtype=np.float32)
-                lab[0] = 1.0
-                perm = rng.permutation(c)
-                cand_idx[row] = slate[perm]
-                labels[row] = lab[perm]
-                user_idx[row] = self.imp.user_idx[i]
-                valid[row] = True
+            valid[:nsel] = True
+
             news, hist_local, cand_local = _dedup(
                 self.store, hist_idx, cand_idx, self.u_bucket_min
             )
@@ -214,47 +254,86 @@ class EvalBatcher:
         self.max_history_len = max_history_len
         self.target_cells = target_cells
         self.u_bucket_min = u_bucket_min
+        self._assembler = _BucketedAssembler(
+            impressions, max_history_len, target_cells, min_cand_bucket, max_cand_bucket
+        )
+
+    def __iter__(self) -> Iterator[RecBatch]:
+        for raw in self._assembler:
+            hist_idx, cand_idx = raw.hist_idx, raw.cand_idx
+            news, hist_local, cand_local = _dedup(
+                self.store, hist_idx, cand_idx, self.u_bucket_min
+            )
+            yield raw._replace(news=news, hist_idx=hist_local, cand_idx=cand_local)
+
+    def num_impressions(self) -> int:
+        return len(self.imp)
+
+
+class _BucketedAssembler:
+    """Shared vectorized assembly for eval batches: impressions bucketed by
+    candidate count; per-bucket padded arrays precomputed once; batches are
+    pure row-gathers.  Yields RecBatch with GLOBAL store rows and
+    ``news=None``."""
+
+    def __init__(
+        self,
+        impressions: Impressions,
+        max_history_len: int,
+        target_cells: int,
+        min_cand_bucket: int = 8,
+        max_cand_bucket: int = 512,
+    ):
+        self.imp = impressions
+        self.max_history_len = max_history_len
+        self.target_cells = target_cells
         sizes = np.diff(impressions.cand_offsets)
+        caps = np.minimum(
+            2 ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64),
+            max_cand_bucket,
+        )
+        caps = np.maximum(caps, min_cand_bucket)
         self.buckets: dict = {}
-        for i, size in enumerate(sizes):
-            cb = next_bucket(int(size), min_cand_bucket)
-            cb = min(cb, max_cand_bucket)
-            self.buckets.setdefault(cb, []).append(i)
+        for cb in np.unique(caps):
+            self.buckets[int(cb)] = np.nonzero(caps == cb)[0]
+        self._hist_pad = impressions.padded_history(max_history_len)
 
     def __iter__(self) -> Iterator[RecBatch]:
         h = self.max_history_len
         for c, idxs in sorted(self.buckets.items()):
             b = max(1, self.target_cells // c)
+            # per-bucket padded candidate arrays, built vectorized
+            lens = np.minimum(
+                np.diff(self.imp.cand_offsets)[idxs], c
+            )
+            cand_pad = np.zeros((len(idxs), c), dtype=np.int32)
+            label_pad = np.zeros((len(idxs), c), dtype=np.float32)
+            pos = np.arange(c)[None, :]
+            take = pos < lens[:, None]
+            flat_idx = (self.imp.cand_offsets[idxs][:, None] + pos)[take]
+            cand_pad[take] = self.imp.cand_flat[flat_idx]
+            label_pad[take] = self.imp.labels_flat[flat_idx]
+
             for start in range(0, len(idxs), b):
                 chunk = idxs[start : start + b]
+                n = len(chunk)
                 hist_idx = np.zeros((b, h), dtype=np.int32)
+                hist_idx[:n] = self._hist_pad[chunk]
                 cand_idx = np.zeros((b, c), dtype=np.int32)
                 labels = np.zeros((b, c), dtype=np.float32)
+                cand_idx[:n] = cand_pad[start : start + n]
+                labels[:n] = label_pad[start : start + n]
                 user_idx = np.zeros(b, dtype=np.int32)
+                user_idx[:n] = self.imp.user_idx[chunk]
                 valid = np.zeros(b, dtype=bool)
-                for row, i in enumerate(chunk):
-                    hist = self.imp.hist(i)[:h]
-                    hist_idx[row, : len(hist)] = hist
-                    cands, labs = self.imp.cands(i)
-                    cands, labs = cands[:c], labs[:c]
-                    cand_idx[row, : len(cands)] = cands
-                    labels[row, : len(labs)] = labs
-                    user_idx[row] = self.imp.user_idx[i]
-                    valid[row] = True
-                news, hist_local, cand_local = _dedup(
-                    self.store, hist_idx, cand_idx, self.u_bucket_min
-                )
-                cand_mask = cand_idx != 0
+                valid[:n] = True
                 yield RecBatch(
-                    news=news,
-                    hist_idx=hist_local,
+                    news=None,
+                    hist_idx=hist_idx,
                     hist_mask=hist_idx != 0,
-                    cand_idx=cand_local,
-                    cand_mask=cand_mask,
+                    cand_idx=cand_idx,
+                    cand_mask=cand_idx != 0,
                     labels=labels,
                     user_idx=user_idx,
                     impression_valid=valid,
                 )
-
-    def num_impressions(self) -> int:
-        return len(self.imp)

@@ -60,7 +60,8 @@ def build_news_vector_table(
 
 class GlobalEvalBatcher:
     """Eval batches whose hist/cand indices are GLOBAL store rows (no
-    per-batch dedup / news table) — for the cached scoring path."""
+    per-batch dedup / news table) — for the cached scoring path.  Assembly is
+    the shared vectorized bucketed assembler."""
 
     def __init__(
         self,
@@ -70,45 +71,14 @@ class GlobalEvalBatcher:
         min_cand_bucket: int = 8,
         max_cand_bucket: int = 512,
     ):
-        self.imp = impressions
-        self.max_history_len = max_history_len
-        self.target_cells = target_cells
-        sizes = np.diff(impressions.cand_offsets)
-        self.buckets: dict = {}
-        for i, size in enumerate(sizes):
-            cb = min(next_bucket(int(size), min_cand_bucket), max_cand_bucket)
-            self.buckets.setdefault(cb, []).append(i)
+        from newsreclib_tpu.data.batching import _BucketedAssembler
+
+        self._assembler = _BucketedAssembler(
+            impressions, max_history_len, target_cells, min_cand_bucket, max_cand_bucket
+        )
 
     def __iter__(self) -> Iterator[RecBatch]:
-        h = self.max_history_len
-        for c, idxs in sorted(self.buckets.items()):
-            b = max(1, self.target_cells // c)
-            for start in range(0, len(idxs), b):
-                chunk = idxs[start : start + b]
-                hist_idx = np.zeros((b, h), dtype=np.int32)
-                cand_idx = np.zeros((b, c), dtype=np.int32)
-                labels = np.zeros((b, c), dtype=np.float32)
-                user_idx = np.zeros(b, dtype=np.int32)
-                valid = np.zeros(b, dtype=bool)
-                for row, i in enumerate(chunk):
-                    hist = self.imp.hist(i)[:h]
-                    hist_idx[row, : len(hist)] = hist
-                    cands, labs = self.imp.cands(i)
-                    cands, labs = cands[:c], labs[:c]
-                    cand_idx[row, : len(cands)] = cands
-                    labels[row, : len(labs)] = labs
-                    user_idx[row] = self.imp.user_idx[i]
-                    valid[row] = True
-                yield RecBatch(
-                    news=None,
-                    hist_idx=hist_idx,
-                    hist_mask=hist_idx != 0,
-                    cand_idx=cand_idx,
-                    cand_mask=cand_idx != 0,
-                    labels=labels,
-                    user_idx=user_idx,
-                    impression_valid=valid,
-                )
+        return iter(self._assembler)
 
 
 class CachedScorer:
