@@ -69,6 +69,7 @@ class MultiHeadSelfAttention(nn.Module):
 
     num_heads: int
     out_dim: Optional[int] = None  # defaults to input dim
+    use_pallas: bool = False  # fused small-seq kernel (3-D inputs only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -76,6 +77,17 @@ class MultiHeadSelfAttention(nn.Module):
         assert d % self.num_heads == 0, (d, self.num_heads)
         head_dim = d // self.num_heads
         qkv = nn.Dense(3 * d, name="qkv")(x)  # fused in-projection
+
+        if self.use_pallas and x.ndim == 3:
+            from newsreclib_tpu.ops.mhsa import fused_small_mhsa
+
+            m = mask if mask is not None else jnp.ones(x.shape[:2], dtype=bool)
+            ctx = fused_small_mhsa(qkv, m, self.num_heads)
+            out = nn.Dense(d, name="out")(ctx)
+            if mask is not None:
+                out = out * mask[..., None].astype(out.dtype)
+            return out
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(t):  # (..., L, D) -> (..., H, L, hd)

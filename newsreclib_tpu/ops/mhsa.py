@@ -1,0 +1,140 @@
+"""Pallas fused multi-head self-attention for many tiny sequences.
+
+The news-encoder workload is thousands of independent short sequences
+(L≈30) with small head dim (hd=20).  XLA lowers per-head attention to
+U×H tiny (30×20)@(20×30) batched matmuls — ~1-2% MXU utilization; measured
+16ms of the 15.6ms NRMS eval step at U=4096 (see bench notes).
+
+This kernel reformulates the per-head contractions via a **head-indicator
+matmul**: with E[d, h] = 1 iff feature d belongs to head h,
+
+    logits[u, l, m, h] = sum_d q[u,l,d] * k[u,m,d] * E[d,h]
+                       = ((q ⊙ broadcast(k_m)) @ E)[u*l, h]
+
+so each key position m costs one VPU elementwise multiply over (BU·L, D)
+plus one deep MXU matmul (BU·L, D) @ (D, H); the output pass uses the
+transpose ((w_m @ Eᵀ) ⊙ v_m, accumulated).  All intermediates stay in VMEM;
+the only HBM traffic is qkv in / context out.
+
+Layout: qkv (U, L, 3D) from one fused input projection; grid over article
+blocks of BU; the same array is passed three times with different column
+offsets for q/k/v.  The L-loop (static, ~30 iterations) is unrolled.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK_MIN = -1e30
+
+
+def head_indicator(d: int, num_heads: int, dtype=jnp.float32) -> jnp.ndarray:
+    """E (D, H): E[i, h] = 1 iff feature i belongs to head h."""
+    hd = d // num_heads
+    e = np.zeros((d, num_heads), dtype=np.float32)
+    for h in range(num_heads):
+        e[h * hd : (h + 1) * hd, h] = 1.0
+    return jnp.asarray(e, dtype=dtype)
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, e_ref, o_ref, *, num_heads, scale):
+    bu, l, d = q_ref.shape
+    h = num_heads
+    q2d = q_ref[:].reshape(bu * l, d)
+    e = e_ref[:]  # (D, H)
+
+    # pass 1: logits per key position m → (L_keys, BU*L, H)
+    logits = []
+    for m in range(l):
+        k_m = k_ref[:, m, :]  # (BU, D)
+        k_b = jnp.broadcast_to(k_m[:, None, :], (bu, l, d)).reshape(bu * l, d)
+        prod = q2d * k_b
+        lg = jax.lax.dot_general(
+            prod, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BU*L, H)
+        key_valid = mask_ref[:, m]  # (BU,)
+        kv = jnp.broadcast_to(key_valid[:, None, None], (bu, l, h)).reshape(bu * l, h)
+        lg = jnp.where(kv != 0, lg, _MASK_MIN)
+        logits.append(lg)
+    stacked = jnp.stack(logits, axis=0)  # (L, BU*L, H)
+
+    # softmax over the key axis
+    mx = jnp.max(stacked, axis=0, keepdims=True)
+    ex = jnp.exp(stacked - mx)
+    denom = jnp.sum(ex, axis=0, keepdims=True)
+    w = ex / jnp.maximum(denom, 1e-30)  # (L, BU*L, H)
+
+    # pass 2: context = sum_m w_m expanded to D ⊙ v_m
+    acc = jnp.zeros((bu * l, d), dtype=jnp.float32)
+    for m in range(l):
+        w_full = jax.lax.dot_general(
+            w[m], e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BU*L, D) — w_m @ E^T
+        v_m = v_ref[:, m, :]
+        v_b = jnp.broadcast_to(v_m[:, None, :], (bu, l, d)).reshape(bu * l, d)
+        acc = acc + w_full * v_b
+    o_ref[:] = acc.reshape(bu, l, d).astype(o_ref.dtype)
+
+
+def fused_small_mhsa(
+    qkv: jnp.ndarray,  # (U, L, 3D) — fused projection output
+    mask: jnp.ndarray,  # (U, L) bool
+    num_heads: int,
+    block_u: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(U, L, 3D) qkv + mask → (U, L, D) attention context."""
+    u, l, d3 = qkv.shape
+    d = d3 // 3
+    assert d % num_heads == 0
+    pad_u = (-u) % block_u
+    if pad_u:
+        qkv = jnp.pad(qkv, ((0, pad_u), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad_u), (0, 0)))
+    up = qkv.shape[0]
+    e = head_indicator(d, num_heads, qkv.dtype)
+    maskf = mask.astype(jnp.float32)
+    scale = 1.0 / float(np.sqrt(d // num_heads))
+
+    grid = (up // block_u,)
+    spec = lambda off: pl.BlockSpec(
+        (block_u, l, d), lambda i: (i, 0, off), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, num_heads=num_heads, scale=scale),
+        grid=grid,
+        in_specs=[
+            spec(0),  # q columns [0, D)
+            spec(1),  # k columns [D, 2D)
+            spec(2),  # v columns [2D, 3D)
+            pl.BlockSpec((block_u, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_u, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((up, l, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, maskf, e)
+    return out[:u]
+
+
+def mhsa_reference(qkv: jnp.ndarray, mask: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Plain-XLA reference for numerics tests."""
+    u, l, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    sp = lambda t: jnp.swapaxes(t.reshape(u, l, num_heads, hd), 1, 2)
+    logits = jnp.einsum("uhld,uhmd->uhlm", sp(q), sp(k)) / np.sqrt(hd)
+    logits = jnp.where(mask[:, None, None, :], logits, _MASK_MIN)
+    w = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("uhlm,uhmd->uhld", w, sp(v))
+    return jnp.swapaxes(o, 1, 2).reshape(u, l, d)
