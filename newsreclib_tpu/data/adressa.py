@@ -312,19 +312,30 @@ class AdressaData:
             )
         else:
             path = os.path.join(self.root, "test", f"behaviors_{self.cfg.seed}.tsv")
-        histories, candidates, labels, user_idx, user_ids = [], [], [], [], []
+        # native fast path: parse raw behavior lines in C++ (fastetl), with a
+        # transparent pure-Python fallback
+        from newsreclib_tpu.data import fastetl
+
         with open(path, encoding="utf-8") as f:
-            for line in f:
-                uid, hist, imp = line.rstrip("\n").split("\t")
-                hist_ids = hist.split() if hist else []
-                cand_pairs = [c.rsplit("-", 1) for c in imp.split()]
-                histories.append(store.rows(hist_ids))
-                candidates.append(store.rows([c for c, _ in cand_pairs]))
-                labels.append([int(l) for _, l in cand_pairs])
-                uidx = int(uid[1:]) + 1  # 0 reserved for padding
-                user_idx.append(uidx)
-                user_ids.append(uidx)
-        return Impressions.from_lists(histories, candidates, labels, user_idx, user_ids)
+            lines = f.read().splitlines()
+        uids, hists, imps = [], [], []
+        for line in lines:
+            uid, hist, imp = line.split("\t")
+            uids.append(uid)
+            hists.append(hist)
+            imps.append(imp)
+        nidmap = fastetl.StrMap(store.nid2row)
+        caph = max((h.count(" ") + 1 for h in hists), default=1)
+        capc = max((i.count(" ") + 1 for i in imps), default=1)
+        hist_rows, hist_lens = fastetl.parse_id_lists(hists, nidmap, cap=caph)
+        cand_rows, cand_labels, cand_lens = fastetl.parse_impressions(
+            imps, nidmap, cap=capc
+        )
+        user_idx = np.asarray([int(u[1:]) + 1 for u in uids], dtype=np.int32)
+        return Impressions.from_padded(
+            hist_rows, hist_lens, cand_rows, cand_labels, cand_lens,
+            user_idx, user_idx,
+        )
 
     def vocab_size(self) -> int:
         return len(self._load_maps()["word2index"]) + 1

@@ -84,6 +84,35 @@ class Impressions:
             None if user_ids is None else np.asarray(user_ids),
         )
 
+    @classmethod
+    def from_padded(
+        cls,
+        hist_rows: np.ndarray,  # (N, caph) int32, 0-padded
+        hist_lens: np.ndarray,
+        cand_rows: np.ndarray,  # (N, capc)
+        cand_labels: np.ndarray,
+        cand_lens: np.ndarray,
+        user_idx: np.ndarray,
+        user_ids=None,
+    ) -> "Impressions":
+        """Vectorized CSR construction from padded parser output
+        (``fastetl.parse_id_lists`` / ``parse_impressions``)."""
+        n, caph = hist_rows.shape
+        capc = cand_rows.shape[1]
+        hist_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(hist_lens, out=hist_off[1:])
+        cand_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cand_lens, out=cand_off[1:])
+        hmask = np.arange(caph)[None, :] < hist_lens[:, None]
+        cmask = np.arange(capc)[None, :] < cand_lens[:, None]
+        return cls(
+            hist_rows[hmask].astype(np.int32), hist_off,
+            cand_rows[cmask].astype(np.int32), cand_off,
+            cand_labels[cmask].astype(np.int8),
+            np.asarray(user_idx, dtype=np.int32),
+            None if user_ids is None else np.asarray(user_ids),
+        )
+
     def padded_history(self, max_len: int) -> np.ndarray:
         """(N, max_len) truncated-padded history matrix — vectorized batch
         assembly gathers rows from this instead of per-row Python loops."""

@@ -370,11 +370,28 @@ class MINDData:
     def impressions(self, split: str) -> Impressions:
         store = self.news_store(split)
         bhv = self.load_behaviors(split)
-        histories = [store.rows(h) for h in bhv["history"]]
-        candidates = [store.rows(c) for c in bhv["candidates"]]
-        user_ids = [int(u.split("U")[-1]) for u in bhv["uid"]]
-        return Impressions.from_lists(
-            histories, candidates, bhv["labels"].tolist(), bhv["user"].tolist(), user_ids
+        # vectorized nid→row mapping (pandas Index.get_indexer, C path)
+        index = pd.Index(list(store.nid2row.keys()))
+        row_of = np.concatenate([[0], np.fromiter(store.nid2row.values(), dtype=np.int64)])
+
+        def map_lists(series):
+            lens = np.fromiter((len(x) for x in series), dtype=np.int64, count=len(series))
+            flat = np.concatenate([np.asarray(x, dtype=object) for x in series]) if lens.sum() else np.asarray([], dtype=object)
+            pos = index.get_indexer(flat)  # -1 for unknown
+            rows = row_of[pos + 1]
+            offsets = np.zeros(len(series) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            return rows.astype(np.int32), offsets
+
+        hist_flat, hist_off = map_lists(bhv["history"])
+        cand_flat, cand_off = map_lists(bhv["candidates"])
+        labels_flat = np.concatenate(
+            [np.asarray(x, dtype=np.int8) for x in bhv["labels"]]
+        ) if len(bhv) else np.zeros(0, np.int8)
+        user_ids = np.asarray([int(u.split("U")[-1]) for u in bhv["uid"]])
+        return Impressions(
+            hist_flat, hist_off, cand_flat, cand_off, labels_flat,
+            np.asarray(bhv["user"], dtype=np.int32), user_ids,
         )
 
     def num_users(self) -> int:

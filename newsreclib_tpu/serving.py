@@ -125,12 +125,69 @@ class CachedScorer:
         categ = None if store.category is None else jnp.asarray(store.category)
         sent = None if store.sentiment is None else jnp.asarray(store.sentiment)
         stream = StreamingEval(collect_auc=collect_auc)
+        return self._run(params, store, impressions, table, categ, sent, stream,
+                         max_history_len, target_cells)
+
+    def _run(self, params, store, impressions, table, categ, sent, stream,
+             max_history_len, target_cells):
         batcher = GlobalEvalBatcher(impressions, max_history_len, target_cells)
         for batch in batcher:
             scores, per_imp = self._step(params, batch, table, categ, sent)
             stream.update(
                 scores, per_imp, jnp.asarray(batch.impression_valid),
-                batch.labels if collect_auc else None,
-                batch.cand_mask if collect_auc else None,
+                batch.labels if stream.collect_auc else None,
+                batch.cand_mask if stream.collect_auc else None,
             )
         return stream.finalize()
+
+    def export_recommendations(
+        self,
+        params,
+        store: NewsStore,
+        impressions: Impressions,
+        fpath: str,
+        max_history_len: int = 50,
+        encode_batch: int = 4096,
+    ) -> Dict[str, Dict[str, float]]:
+        """Per-user candidate scores as JSON: {"U<id>": {"N<id>": score}}.
+
+        Reference analog: ``save_recs`` / ``_get_recommendations`` /
+        ``_save_recommendations`` (``abstract_recommender.py:159-193``).
+        """
+        import json
+
+        table = build_news_vector_table(self.model, params, store, encode_batch)
+        score_fn = jax.jit(
+            lambda p, b, t: self.model.apply(
+                {"params": p}, b, t, deterministic=True, method="score_with_vectors"
+            )
+        )
+        row2nid = {v: k for k, v in store.nid2row.items()}
+        recs: Dict[str, Dict[str, float]] = {}
+        batcher = GlobalEvalBatcher(impressions, max_history_len)
+        # recover which impression each batch row holds: iterate in the same
+        # bucket order the assembler uses
+        order = [
+            i for _, idxs in sorted(batcher._assembler.buckets.items()) for i in idxs
+        ]
+        cursor = 0
+        for batch in batcher:
+            scores = np.asarray(score_fn(params, batch, table))
+            n_valid = int(np.sum(batch.impression_valid))
+            for row in range(n_valid):
+                imp_i = order[cursor]
+                cursor += 1
+                uid = (
+                    impressions.user_ids[imp_i]
+                    if impressions.user_ids is not None
+                    else impressions.user_idx[imp_i]
+                )
+                user_key = f"U{uid}"
+                d = recs.setdefault(user_key, {})
+                for c in range(batch.cand_idx.shape[1]):
+                    r = int(batch.cand_idx[row, c])
+                    if r:
+                        d[str(row2nid.get(r, r))] = float(scores[row, c])
+        with open(fpath, "w") as f:
+            json.dump(recs, f)
+        return recs
