@@ -17,7 +17,9 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import numpy as np
 
-from newsreclib_tpu.data.batch import RecBatch
+import jax.numpy as jnp
+
+from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
 from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
 from newsreclib_tpu.models.components.category import LinearEncoder
 from newsreclib_tpu.models.components.click import dot_product_scores
@@ -47,8 +49,7 @@ class CAUM(nn.Module):
     pretrained_embeddings: Optional[np.ndarray] = None
     pretrained_entity_embeddings: Optional[np.ndarray] = None
 
-    @nn.compact
-    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+    def setup(self):
         text_encoder = MHSAAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.text_embed_dim,
@@ -56,7 +57,6 @@ class CAUM(nn.Module):
             query_dim=self.query_dim,
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
-            name="text_encoder",
         )
         entity_encoder = EntityAddAtt(
             vocab_size=self.entity_vocab_size,
@@ -64,38 +64,45 @@ class CAUM(nn.Module):
             query_dim=self.query_dim,
             dropout=self.dropout,
             pretrained=self.pretrained_entity_embeddings,
-            name="entity_encoder",
         )
         category_encoder = LinearEncoder(
             num_categories=self.num_categories,
             embed_dim=self.categ_embed_dim,
             use_dropout=False,
             linear_transform=False,
-            name="category_encoder",
         )
-        news_vecs = NewsEncoder(
+        self.news_encoder = NewsEncoder(
             attributes2encode=self.attributes2encode,
             text_encoder=text_encoder,
             category_encoder=category_encoder,
             entity_encoder=entity_encoder,
             combine_type="linear",
             output_dim=self.news_embed_dim,
-            name="news_encoder",
-        )(batch.news, deterministic=deterministic)
+        )
+        if not self.late_fusion:
+            self.user_encoder = CAUMUserEncoder(
+                news_embed_dim=self.news_embed_dim,
+                num_filters=self.num_filters,
+                dense_att_hidden_dim1=self.dense_att_hidden_dim1,
+                dense_att_hidden_dim2=self.dense_att_hidden_dim2,
+                user_vector_dim=self.user_vector_dim,
+                num_heads=self.text_num_heads,
+                dropout=self.dropout,
+            )
 
+    def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        return self.news_encoder(news, deterministic=deterministic)
+
+    def score_with_vectors(
+        self, batch: RecBatch, news_vecs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)
         if self.late_fusion:
             user = late_fusion_user(hist, batch.hist_mask)
-            return dot_product_scores(user, cand), {}
-        scores = CAUMUserEncoder(
-            news_embed_dim=self.news_embed_dim,
-            num_filters=self.num_filters,
-            dense_att_hidden_dim1=self.dense_att_hidden_dim1,
-            dense_att_hidden_dim2=self.dense_att_hidden_dim2,
-            user_vector_dim=self.user_vector_dim,
-            num_heads=self.text_num_heads,
-            dropout=self.dropout,
-            name="user_encoder",
-        )(hist, cand, batch.hist_mask, deterministic)
-        return scores, {}
+            return dot_product_scores(user, cand)
+        return self.user_encoder(hist, cand, batch.hist_mask, deterministic)
+
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = self.encode_news(batch.news, deterministic)
+        return self.score_with_vectors(batch, news_vecs, deterministic), {}

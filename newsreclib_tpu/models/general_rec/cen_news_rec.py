@@ -14,7 +14,9 @@ from typing import Optional
 import flax.linen as nn
 import numpy as np
 
-from newsreclib_tpu.data.batch import RecBatch
+import jax.numpy as jnp
+
+from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
 from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.text import CNNMHSAAddAtt
@@ -34,9 +36,8 @@ class CenNewsRec(nn.Module):
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
 
-    @nn.compact
-    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = CNNMHSAAddAtt(
+    def setup(self):
+        self.news_encoder = CNNMHSAAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.embed_dim,
             num_filters=self.num_filters,
@@ -45,21 +46,31 @@ class CenNewsRec(nn.Module):
             query_dim=self.query_dim,
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
-            name="news_encoder",
-        )(batch.news.title, batch.news.title_mask, deterministic)
-
-        hist = gather_news(news_vecs, batch.hist_idx)
-        cand = gather_news(news_vecs, batch.cand_idx)
-        if self.late_fusion:
-            user = late_fusion_user(hist, batch.hist_mask)
-        else:
-            user = CenNewsRecUserEncoder(
+        )
+        if not self.late_fusion:
+            self.user_encoder = CenNewsRecUserEncoder(
                 num_filters=self.num_filters,
                 num_heads=self.num_heads,
                 query_dim=self.query_dim,
                 gru_hidden_dim=self.gru_hidden_dim,
                 num_recent_news=self.num_recent_news,
                 dropout=self.dropout,
-                name="user_encoder",
-            )(hist, batch.hist_mask, deterministic)
-        return dot_product_scores(user, cand), {}
+            )
+
+    def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        return self.news_encoder(news.title, news.title_mask, deterministic)
+
+    def score_with_vectors(
+        self, batch: RecBatch, news_vecs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        hist = gather_news(news_vecs, batch.hist_idx)
+        cand = gather_news(news_vecs, batch.cand_idx)
+        if self.late_fusion:
+            user = late_fusion_user(hist, batch.hist_mask)
+        else:
+            user = self.user_encoder(hist, batch.hist_mask, deterministic)
+        return dot_product_scores(user, cand)
+
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = self.encode_news(batch.news, deterministic)
+        return self.score_with_vectors(batch, news_vecs, deterministic), {}

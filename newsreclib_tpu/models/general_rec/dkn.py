@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
 from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
 from newsreclib_tpu.models.components.click import DNNPredictor, dot_product_scores
 from newsreclib_tpu.models.components.news import KCNN
@@ -36,9 +36,8 @@ class DKN(nn.Module):
     pretrained_entity_embeddings: Optional[np.ndarray] = None
     pretrained_context_embeddings: Optional[np.ndarray] = None
 
-    @nn.compact
-    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = KCNN(
+    def setup(self):
+        self.news_encoder = KCNN(
             word_vocab_size=self.vocab_size,
             entity_vocab_size=self.entity_vocab_size,
             word_embed_dim=self.text_embed_dim,
@@ -49,26 +48,29 @@ class DKN(nn.Module):
             pretrained_words=self.pretrained_embeddings,
             pretrained_entities=self.pretrained_entity_embeddings,
             pretrained_context=self.pretrained_context_embeddings,
-            name="news_encoder",
-        )(
-            batch.news.title,
-            batch.news.title_entities,
-            batch.news.title_mask,
-            deterministic,
+        )
+        if not self.late_fusion:
+            self.user_encoder = DKNUserEncoder(hidden_dim=100)
+            self.click_predictor = DNNPredictor(self.hidden_dim_dnn)
+
+    def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        return self.news_encoder(
+            news.title, news.title_entities, news.title_mask, deterministic
         )
 
+    def score_with_vectors(
+        self, batch: RecBatch, news_vecs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)
         if self.late_fusion:
             user = late_fusion_user(hist, batch.hist_mask)
-            scores = dot_product_scores(user, cand)
-        else:
-            user_per_cand = DKNUserEncoder(hidden_dim=100, name="user_encoder")(
-                hist, cand, batch.hist_mask, deterministic
-            )  # (B, C, D)
-            scores = DNNPredictor(self.hidden_dim_dnn, name="click_predictor")(
-                user_per_cand, cand
-            )
-            # reference masks padded-candidate scores to 0 in early fusion
-            scores = jnp.where(batch.cand_mask, scores, 0.0)
-        return scores, {}
+            return dot_product_scores(user, cand)
+        user_per_cand = self.user_encoder(hist, cand, batch.hist_mask, deterministic)
+        scores = self.click_predictor(user_per_cand, cand)
+        # reference masks padded-candidate scores to 0 in early fusion
+        return jnp.where(batch.cand_mask, scores, 0.0)
+
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = self.encode_news(batch.news, deterministic)
+        return self.score_with_vectors(batch, news_vecs, deterministic), {}

@@ -13,9 +13,10 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax.numpy as jnp
 import numpy as np
 
-from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
 from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
 from newsreclib_tpu.models.components.category import LinearEncoder
 from newsreclib_tpu.models.components.click import dot_product_scores
@@ -40,8 +41,7 @@ class LSTUR(nn.Module):
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
 
-    @nn.compact
-    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+    def setup(self):
         text_encoder = CNNAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.text_embed_dim,
@@ -50,34 +50,49 @@ class LSTUR(nn.Module):
             query_dim=self.query_dim,
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
-            name="text_encoder",
         )
         category_encoder = LinearEncoder(
             num_categories=self.num_categories,
             embed_dim=self.categ_embed_dim,
             use_dropout=False,
             linear_transform=False,
-            name="category_encoder",
         )
-        news_vecs = NewsEncoder(
+        self.news_encoder = NewsEncoder(
             attributes2encode=self.attributes2encode,
             text_encoder=text_encoder,
             category_encoder=category_encoder,
             combine_type="concat",
-            name="news_encoder",
-        )(batch.news, deterministic=deterministic)
+        )
+        if not self.late_fusion:
+            news_dim = self.num_filters + self.categ_embed_dim * (
+                ("category" in self.attributes2encode)
+                + ("subcategory" in self.attributes2encode)
+            )
+            if "abstract" in self.attributes2encode and "title" in self.attributes2encode:
+                news_dim += self.num_filters
+            self.user_encoder = LSTURUserEncoder(
+                num_users=self.num_users,
+                input_dim=news_dim,
+                user_masking_probability=self.user_masking_probability,
+                long_short_term_method=self.long_short_term_method,
+            )
 
+    def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        return self.news_encoder(news, deterministic=deterministic)
+
+    def score_with_vectors(
+        self, batch: RecBatch, news_vecs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)
         if self.late_fusion:
             user = late_fusion_user(hist, batch.hist_mask)
         else:
-            news_dim = news_vecs.shape[-1]
-            user = LSTURUserEncoder(
-                num_users=self.num_users,
-                input_dim=news_dim,
-                user_masking_probability=self.user_masking_probability,
-                long_short_term_method=self.long_short_term_method,
-                name="user_encoder",
-            )(batch.user_idx, hist, batch.hist_mask, deterministic)
-        return dot_product_scores(user, cand), {}
+            user = self.user_encoder(
+                batch.user_idx, hist, batch.hist_mask, deterministic
+            )
+        return dot_product_scores(user, cand)
+
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = self.encode_news(batch.news, deterministic)
+        return self.score_with_vectors(batch, news_vecs, deterministic), {}

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
 from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.text import CNNAddAtt
@@ -39,9 +39,8 @@ class TANR(nn.Module):
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
 
-    @nn.compact
-    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = CNNAddAtt(
+    def setup(self):
+        self.news_encoder = CNNAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.embed_dim,
             num_filters=self.num_filters,
@@ -49,21 +48,33 @@ class TANR(nn.Module):
             query_dim=self.query_dim,
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
-            name="news_encoder",
-        )(batch.news.title, batch.news.title_mask, deterministic)
+        )
+        if not self.late_fusion:
+            self.user_encoder = NRMSUserEncoder(
+                num_heads=self.num_heads, query_dim=self.query_dim
+            )
+        self.topic_predictor = nn.Dense(self.num_categories)
 
+    def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        return self.news_encoder(news.title, news.title_mask, deterministic)
+
+    def score_with_vectors(
+        self, batch: RecBatch, news_vecs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)
         if self.late_fusion:
             user = late_fusion_user(hist, batch.hist_mask)
         else:
-            user = NRMSUserEncoder(
-                num_heads=self.num_heads, query_dim=self.query_dim, name="user_encoder"
-            )(hist, batch.hist_mask, deterministic)
-        scores = dot_product_scores(user, cand)
+            user = self.user_encoder(hist, batch.hist_mask, deterministic)
+        return dot_product_scores(user, cand)
+
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = self.encode_news(batch.news, deterministic)
+        scores = self.score_with_vectors(batch, news_vecs, deterministic)
 
         # auxiliary topic classification over unique news (valid rows only)
-        topic_logits = nn.Dense(self.num_categories, name="topic_predictor")(news_vecs)
+        topic_logits = self.topic_predictor(news_vecs)
         news_valid = jnp.any(batch.news.title_mask, axis=-1)
         log_probs = nn.log_softmax(topic_logits, axis=-1)
         onehot = jax.nn.one_hot(batch.news.category, self.num_categories)
