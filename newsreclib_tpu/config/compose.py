@@ -106,6 +106,7 @@ def compose(
         else:
             leaf_overrides.append(ov)
 
+    cli_groups = set(group_sel)
     cfg: Dict = dict(root)
     for entry in defaults:
         if isinstance(entry, str):
@@ -126,16 +127,20 @@ def compose(
 
     if experiment:
         exp = _load_yaml(os.path.join(config_dir, "experiment", f"{experiment}.yaml"))
-        # experiment files may themselves select groups via a defaults list
+        # experiment files may themselves select groups via a defaults list —
+        # but explicit CLI group selections (group=name) take precedence
         for entry in exp.pop("defaults", []):
             if isinstance(entry, str):
                 continue
             (group, name), = entry.items()
             group = group.removeprefix("override /").removeprefix("/")
-            if name in (None, "null"):
+            if name in (None, "null") or group in cli_groups:
                 continue
             group_cfg = _load_yaml(os.path.join(config_dir, group, f"{name}.yaml"))
             cfg[group] = group_cfg
+        # drop experiment leaf-overrides for groups the CLI re-selected
+        for group in cli_groups:
+            exp.pop(group, None)
         cfg = deep_merge(cfg, exp)
         cfg["experiment_name"] = experiment
 

@@ -178,7 +178,58 @@ def build_model(cfg: Dict, info: DataInfo):
             score_type=cfg.get("score_type", "weighted"),
             pretrained_categ_embeddings=info.pretrained_categ_embeddings,
         )
+    if name == "sentirec":
+        from newsreclib_tpu.models import fair_rec
+
+        return fair_rec.SentiRec(
+            **_common(cfg, info),
+            embed_dim=cfg.get("embed_dim", 300),
+            num_heads=cfg.get("num_heads", 15),
+            query_dim=cfg.get("query_dim", 200),
+            dropout=d,
+            sent_pred_loss_coef=cfg.get("sent_pred_loss_coef", 0.4),
+            sent_div_loss_coef=cfg.get("sent_div_loss_coef", 10.0),
+        )
+    if name == "manner_cr":
+        from newsreclib_tpu.models import fair_rec
+
+        return fair_rec.MANNeRCR(
+            vocab_size=info.vocab_size,
+            entity_vocab_size=info.entity_vocab_size,
+            use_entities=cfg.get("use_entities", True),
+            text_embed_dim=cfg.get("text_embed_dim", 300),
+            entity_embed_dim=cfg.get("entity_embed_dim", 100),
+            num_heads=cfg.get("num_heads", 15),
+            query_dim=cfg.get("query_dim", 200),
+            dropout=d,
+            late_fusion=cfg.get("late_fusion", True),
+            pretrained_embeddings=info.pretrained_embeddings,
+            pretrained_entity_embeddings=info.pretrained_entity_embeddings,
+        )
     raise ValueError(f"unknown model: {name}")
+
+
+def build_senti_debias(cfg: Dict, info: DataInfo):
+    """SentiDebias generator+discriminator pair (adversarial training path,
+    see training/adversarial.py)."""
+    from newsreclib_tpu.models import fair_rec
+
+    gen = fair_rec.SentiDebiasGenerator(
+        vocab_size=info.vocab_size,
+        num_sent_classes=info.num_sent_classes - 1,
+        embed_dim=cfg.get("embed_dim", 300),
+        num_heads=cfg.get("num_heads", 15),
+        query_dim=cfg.get("query_dim", 200),
+        sent_embed_dim=cfg.get("sent_embed_dim", 64),
+        dropout=cfg.get("dropout_probability", 0.2),
+        late_fusion=cfg.get("late_fusion", False),
+        pretrained_embeddings=info.pretrained_embeddings,
+    )
+    disc = fair_rec.SentiDebiasDiscriminator(
+        hidden_dim=cfg.get("discriminator_hidden_dim", 128),
+        num_sent_classes=info.num_sent_classes - 1,
+    )
+    return gen, disc
 
 
 def build_loss(cfg: Dict) -> Callable:

@@ -1,0 +1,102 @@
+"""Adversarial (two-optimizer) training loop for SentiDebias.
+
+Reference analog: the manual-optimization Lightning loop in
+``senti_debias_module.py:327,475-518,672-679`` — here a thin wrapper that
+drives the jitted alternating G/D step and reuses the standard Trainer for
+validation/test over the generator's bias-free scores.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+
+from newsreclib_tpu.data.batching import EvalBatcher, TrainBatcher
+from newsreclib_tpu.metrics.collector import RankingMetrics
+from newsreclib_tpu.models.fair_rec.senti_debias import (
+    SentiDebiasState,
+    make_sentidebias_train_step,
+)
+from newsreclib_tpu.training.checkpoint import Checkpointer
+from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+log = logging.getLogger("newsreclib_tpu")
+
+
+class AdversarialTrainer:
+    def __init__(
+        self,
+        state: SentiDebiasState,
+        loss_fn,  # used only for eval-side loss reporting
+        cfg: TrainerConfig,
+        alpha: float = 0.15,
+        beta: float = 10.0,
+        ranking: Optional[RankingMetrics] = None,
+        loggers=(),
+    ):
+        self.state = state
+        self.cfg = cfg
+        self.step_fn = make_sentidebias_train_step(alpha, beta)
+        # standard Trainer over the generator state handles eval/test/ckpt
+        self._eval_trainer = Trainer(
+            state.g, loss_fn, cfg, ranking=ranking, loggers=loggers
+        )
+        self.loggers = list(loggers)
+        self.global_step = 0
+
+    def _log(self, metrics: Dict[str, float], step: int) -> None:
+        for lg in self.loggers:
+            lg.log_metrics(metrics, step)
+
+    def fit(self, train_batcher: TrainBatcher, val_batcher: Optional[EvalBatcher] = None):
+        best = None
+        bad = 0
+        history: Dict[str, float] = {}
+        for epoch in range(self.cfg.max_epochs):
+            g_losses, d_losses = [], []
+            for i, batch in enumerate(train_batcher.epoch(epoch)):
+                if self.cfg.limit_train_batches and i >= self.cfg.limit_train_batches:
+                    break
+                self.state, metrics = self.step_fn(self.state, batch)
+                self.global_step += 1
+                if (i + 1) % self.cfg.log_every_n_steps == 0 or i == 0:
+                    g, d = float(metrics["g_loss"]), float(metrics["d_loss"])
+                    g_losses.append(g)
+                    d_losses.append(d)
+                    if self.cfg.check_finite and not (np.isfinite(g) and np.isfinite(d)):
+                        raise FloatingPointError(f"non-finite adversarial loss at step {i}")
+                    self._log({"train/g_loss": g, "train/d_loss": d, "epoch": epoch},
+                              self.global_step)
+            metrics = {
+                "train/g_loss": float(np.mean(g_losses)) if g_losses else float("nan"),
+                "train/d_loss": float(np.mean(d_losses)) if d_losses else float("nan"),
+            }
+            monitored = metrics["train/g_loss"]
+            if val_batcher is not None:
+                self._eval_trainer.state = self.state.g
+                val_metrics = self._eval_trainer.evaluate(val_batcher, "val")
+                metrics.update(val_metrics)
+                monitored = val_metrics.get(f"val/{self.cfg.monitor}", monitored)
+            self._log(metrics, self.global_step)
+            history = metrics
+            improved = best is None or (
+                monitored < best if self.cfg.mode == "min" else monitored > best
+            )
+            if self._eval_trainer.ckpt:
+                self._eval_trainer.state = self.state.g
+                self._eval_trainer.ckpt.save(self.state.g, self.global_step, metric=monitored)
+            if improved:
+                best, bad = monitored, 0
+            else:
+                bad += 1
+                if bad >= self.cfg.patience:
+                    log.info("early stopping at epoch %d", epoch)
+                    break
+        history["best_" + self.cfg.monitor] = best if best is not None else float("nan")
+        return history
+
+    def test(self, test_batcher: EvalBatcher, restore_best: bool = True):
+        self._eval_trainer.state = self.state.g
+        return self._eval_trainer.test(test_batcher, restore_best=restore_best)

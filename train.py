@@ -99,7 +99,8 @@ def run(cfg: dict) -> dict:
         info.vocab_size, info.num_users, info.num_categories, store_train.num_news,
     )
 
-    model = build_model(cfg["model"], info)
+    adversarial = bool(cfg["model"].get("adversarial"))
+    model = None if adversarial else build_model(cfg["model"], info)
     loss_fn = build_loss(cfg["model"])
     dc = cfg["data"]
     train_batcher = TrainBatcher(
@@ -124,6 +125,52 @@ def run(cfg: dict) -> dict:
         u_bucket_min=dc.get("u_bucket_min", 512),
     )
 
+    ranking = RankingMetrics(
+        top_k_list=tuple(cfg["model"].get("top_k_list", (5, 10))),
+        num_categ_classes=info.num_categories,
+        num_sent_classes=info.num_sent_classes,
+    )
+    loggers = make_loggers(out_dir, cfg.get("loggers", ["stdout", "csv"]))
+    tc = cfg["trainer"]
+    trainer_cfg = TrainerConfig(
+        max_epochs=tc["max_epochs"],
+        patience=tc["patience"],
+        monitor=tc.get("monitor", "loss"),
+        mode=tc.get("mode", "min"),
+        log_every_n_steps=tc.get("log_every_n_steps", 50),
+        check_finite=tc.get("check_finite", True),
+        ckpt_dir=os.path.join(out_dir, "checkpoints"),
+        limit_train_batches=tc.get("limit_train_batches"),
+        limit_eval_batches=tc.get("limit_eval_batches"),
+    )
+
+    if adversarial:
+        # SentiDebias: alternating two-optimizer training
+        import jax as _jax
+
+        from newsreclib_tpu.models.factory import build_senti_debias
+        from newsreclib_tpu.models.fair_rec import create_sentidebias_state
+        from newsreclib_tpu.training.adversarial import AdversarialTrainer
+
+        gen, disc = build_senti_debias(cfg["model"], info)
+        example = next(iter(train_batcher.epoch(0)))
+        opt_cfg = cfg["model"].get("optimizer", {})
+        sd_state = create_sentidebias_state(
+            gen, disc, example, _jax.random.key(cfg.get("seed", 0)),
+            g_lr=opt_cfg.get("lr", 1e-5), d_lr=opt_cfg.get("d_lr", 2e-5),
+        )
+        trainer = AdversarialTrainer(
+            sd_state, build_loss(cfg["model"]), trainer_cfg,
+            alpha=cfg["model"].get("alpha_coefficient", 0.15),
+            beta=cfg["model"].get("beta_coefficient", 10.0),
+            ranking=ranking, loggers=loggers,
+        )
+        metrics = trainer.fit(train_batcher, val_batcher)
+        if cfg.get("test_after_train", True):
+            metrics.update(trainer.test(test_batcher))
+        log.info("final metrics: %s", {k: round(v, 4) for k, v in metrics.items()})
+        return metrics
+
     example = next(iter(train_batcher.epoch(0)))
     opt_cfg = cfg["model"].get("optimizer", {})
     state = create_train_state(
@@ -134,28 +181,7 @@ def run(cfg: dict) -> dict:
     )
     log.info("params: %d", param_count(state.params))
 
-    tc = cfg["trainer"]
-    trainer = Trainer(
-        state,
-        loss_fn,
-        TrainerConfig(
-            max_epochs=tc["max_epochs"],
-            patience=tc["patience"],
-            monitor=tc.get("monitor", "loss"),
-            mode=tc.get("mode", "min"),
-            log_every_n_steps=tc.get("log_every_n_steps", 50),
-            check_finite=tc.get("check_finite", True),
-            ckpt_dir=os.path.join(out_dir, "checkpoints"),
-            limit_train_batches=tc.get("limit_train_batches"),
-            limit_eval_batches=tc.get("limit_eval_batches"),
-        ),
-        ranking=RankingMetrics(
-            top_k_list=tuple(cfg["model"].get("top_k_list", (5, 10))),
-            num_categ_classes=info.num_categories,
-            num_sent_classes=info.num_sent_classes,
-        ),
-        loggers=make_loggers(out_dir, cfg.get("loggers", ["stdout", "csv"])),
-    )
+    trainer = Trainer(state, loss_fn, trainer_cfg, ranking=ranking, loggers=loggers)
 
     metrics = trainer.fit(train_batcher, val_batcher)
     if cfg.get("test_after_train", True):
