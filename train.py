@@ -32,10 +32,39 @@ from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
 log = logging.getLogger("newsreclib_tpu")
 
 
-def setup_data(cfg: dict) -> MINDData:
+def setup_data(cfg: dict):
+    """Build the dataset object (MINDData / AdressaData / XMINDData) — all
+    expose the same interface (news_store / impressions / vocab_size / ...)."""
     dc = cfg["data"]
-    if dc.get("dataset", "mind") != "mind":
-        raise NotImplementedError(f"dataset {dc['dataset']}")
+    dataset = dc.get("dataset", "mind")
+
+    if dataset == "adressa":
+        from newsreclib_tpu.data.adressa import AdressaConfig, AdressaData
+
+        if dc.get("generate_fixture"):
+            from newsreclib_tpu.data.testing import write_adressa_fixture
+
+            if not os.path.exists(os.path.join(dc["data_dir"], "one_week.tar.gz")):
+                write_adressa_fixture(dc["data_dir"])
+        return AdressaData(
+            AdressaConfig(
+                data_dir=dc["data_dir"],
+                dataset_size=dc.get("dataset_size", "one_week"),
+                train_date_split=dc.get("train_date_split", 6),
+                test_date_split=dc.get("test_date_split", 7),
+                neg_num=dc.get("neg_num", 20),
+                user_dev_size=dc.get("user_dev_size", 0.2),
+                max_title_len=dc["max_title_len"],
+                word_embeddings_fpath=dc.get("word_embeddings_fpath"),
+                word_embed_dim=dc.get("word_embed_dim", 300),
+                sentiment_annotator=dc.get("sentiment_annotator", "lexicon"),
+                download=dc.get("download", False),
+                seed=dc.get("seed", 42),
+            )
+        )
+
+    if dataset not in ("mind", "xmind"):
+        raise NotImplementedError(f"dataset {dataset}")
     if dc.get("generate_fixture"):
         from newsreclib_tpu.data.testing import write_mind_fixture
 
@@ -58,7 +87,22 @@ def setup_data(cfg: dict) -> MINDData:
         download=dc.get("download", False),
         seed=dc.get("seed", 0),
     )
-    return MINDData(mind_cfg)
+    mind = MINDData(mind_cfg)
+    if dataset == "xmind":
+        from newsreclib_tpu.data.xmind import XMINDConfig, XMINDData
+
+        return XMINDData(
+            mind,
+            XMINDConfig(
+                tgt_lang=dc.get("tgt_lang", "fin"),
+                bilingual_train=dc.get("bilingual_train", False),
+                bilingual_test=dc.get("bilingual_test", True),
+                pct_tgt_lang_train=dc.get("pct_tgt_lang_train", 0.5),
+                pct_tgt_lang_test=dc.get("pct_tgt_lang_test", 1.0),
+                seed=dc.get("seed", 42),
+            ),
+        )
+    return mind
 
 
 def _setup_logging() -> None:
