@@ -127,11 +127,23 @@ def _maybe_force_platform(cfg: dict) -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def print_config_tree(cfg: dict, out_dir: str) -> None:
+    """Pretty-print + persist the composed config (reference
+    ``utils/rich_utils.py:18-76`` analog)."""
+    import yaml
+
+    tree = yaml.safe_dump(cfg, sort_keys=False, default_flow_style=False)
+    log.info("composed config:\n%s", tree)
+    with open(os.path.join(out_dir, "config_tree.log"), "w") as f:
+        f.write(tree)
+
+
 def run(cfg: dict) -> dict:
     _setup_logging()
     _maybe_force_platform(cfg)
     out_dir = cfg["output_dir"]
     os.makedirs(out_dir, exist_ok=True)
+    print_config_tree(cfg, out_dir)
     log.info("devices: %s", jax.devices())
 
     mind = setup_data(cfg)
@@ -230,6 +242,18 @@ def run(cfg: dict) -> dict:
     metrics = trainer.fit(train_batcher, val_batcher)
     if cfg.get("test_after_train", True):
         metrics.update(trainer.test(test_batcher))
+
+    if cfg.get("save_recs") and hasattr(model, "encode_news"):
+        # per-user recommendation export (abstract_recommender.py:159-193)
+        from newsreclib_tpu.serving import CachedScorer
+
+        recs_fpath = cfg.get("recs_fpath") or os.path.join(out_dir, "recommendations.json")
+        CachedScorer(model).export_recommendations(
+            trainer.state.params, mind.news_store("test"), mind.impressions("test"),
+            recs_fpath, max_history_len=dc["max_history_len"],
+        )
+        log.info("recommendations exported to %s", recs_fpath)
+
     log.info("final metrics: %s", {k: round(v, 4) for k, v in metrics.items()})
     return metrics
 
