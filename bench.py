@@ -77,7 +77,48 @@ def build_eval_workload(rng):
     return store, imp
 
 
+def preflight(timeout_s: int = 180) -> bool:
+    """Verify the device can compile+execute before the heavy benchmark.
+
+    The axon remote-compile service can wedge (stale grants / stuck compile
+    queue); without this check a wedged device would hang the whole bench.
+    """
+    import signal
+
+    def _handler(signum, frame):
+        raise TimeoutError
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(timeout_s)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        val = float(jax.jit(lambda x: jnp.sum(x * 2))(jnp.ones((128, 128))))
+        assert abs(val - 2 * 128 * 128) < 1
+        return True
+    except TimeoutError:
+        log("preflight TIMEOUT: device cannot compile/execute (tunnel wedged?)")
+        return False
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main() -> None:
+    if not preflight():
+        print(
+            json.dumps(
+                {
+                    "metric": "impressions_scored_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "impressions/s",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        sys.exit(0)
+
     import jax
     import jax.numpy as jnp
 

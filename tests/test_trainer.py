@@ -1,0 +1,78 @@
+"""Trainer behavior tests: early stopping, check_finite, best-checkpoint
+promotion."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from newsreclib_tpu.data.mind import MINDConfig, MINDData
+from newsreclib_tpu.data.batching import EvalBatcher, TrainBatcher
+from newsreclib_tpu.data.testing import write_mind_fixture
+from newsreclib_tpu.models.components.losses import cross_entropy_loss
+from newsreclib_tpu.models.general_rec import NRMS
+from newsreclib_tpu.training.state import create_train_state, make_optimizer
+from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("trn"))
+    write_mind_fixture(data_dir, num_news=80, num_train_behaviors=80, num_dev_behaviors=30)
+    mind = MINDData(MINDConfig(data_dir=data_dir, dataset_size="demo",
+                               sentiment_annotator="lexicon"))
+    store = mind.news_store("train")
+    train_b = TrainBatcher(store, mind.impressions("train"), batch_size=8,
+                           max_history_len=8, u_bucket_min=64)
+    val_b = EvalBatcher(store, mind.impressions("val"), max_history_len=8,
+                        target_cells=64, u_bucket_min=64)
+    model = NRMS(vocab_size=mind.vocab_size(), embed_dim=60, num_heads=6, query_dim=32)
+    return train_b, val_b, model
+
+
+def _trainer(model, train_b, ckpt_dir, **kw):
+    example = next(iter(train_b.epoch(0)))
+    state = create_train_state(model, example, jax.random.key(0), make_optimizer(1e-3))
+    cfg = TrainerConfig(ckpt_dir=ckpt_dir, log_every_n_steps=100, **kw)
+    return Trainer(state, cross_entropy_loss, cfg)
+
+
+def test_early_stopping_fires(setup, tmp_path):
+    train_b, val_b, model = setup
+    # patience 1 with a huge LR so val loss degrades quickly
+    example = next(iter(train_b.epoch(0)))
+    state = create_train_state(model, example, jax.random.key(0), make_optimizer(0.5))
+    trainer = Trainer(
+        state, cross_entropy_loss,
+        TrainerConfig(max_epochs=20, patience=1, ckpt_dir=None,
+                      limit_train_batches=2, limit_eval_batches=2,
+                      log_every_n_steps=100, check_finite=False),
+    )
+    history = trainer.fit(train_b, val_b)
+    # early stopping must have ended training long before 20 epochs:
+    # global_step counts 2 batches per epoch
+    assert trainer.global_step < 20 * 2
+
+
+def test_best_checkpoint_promotion(setup, tmp_path):
+    train_b, val_b, model = setup
+    trainer = _trainer(model, train_b, str(tmp_path / "ck"),
+                       max_epochs=2, limit_train_batches=3, limit_eval_batches=2)
+    trainer.fit(train_b, val_b)
+    assert os.path.exists(str(tmp_path / "ck" / "best"))
+    assert os.path.exists(str(tmp_path / "ck" / "last"))
+    assert trainer.ckpt.best_metric is not None
+
+
+def test_check_finite_raises(setup):
+    train_b, val_b, model = setup
+    example = next(iter(train_b.epoch(0)))
+    state = create_train_state(model, example, jax.random.key(0), make_optimizer(1e30))
+    trainer = Trainer(
+        state, cross_entropy_loss,
+        TrainerConfig(max_epochs=1, ckpt_dir=None, limit_train_batches=5,
+                      log_every_n_steps=1, check_finite=True),
+    )
+    with pytest.raises(FloatingPointError):
+        trainer.fit(train_b, None)
