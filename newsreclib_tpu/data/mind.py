@@ -101,6 +101,11 @@ class MINDConfig:
     sentiment_annotator_kwargs: dict = field(default_factory=dict)
     download: bool = False
     seed: int = 0
+    # PLM mode (reference use_plm: tokenize with a HF tokenizer instead of
+    # the word-level vocab; mind_rec_datamodule.py:149-160)
+    use_plm: bool = False
+    plm_tokenizer: Optional[str] = None  # HF name or local path
+    tokenizer_max_len: int = 96
 
 
 class MINDData:
@@ -339,22 +344,54 @@ class MINDData:
 
     # ---------- dense assembly ----------
 
+    def _plm_tokenize(self, texts, max_len: int):
+        """Batch-tokenize with the configured HF tokenizer (PLM mode)."""
+        from transformers import AutoTokenizer
+
+        if not hasattr(self, "_hf_tok"):
+            self._hf_tok = AutoTokenizer.from_pretrained(self.cfg.plm_tokenizer)
+        enc = self._hf_tok(
+            [t if isinstance(t, str) else "" for t in texts],
+            truncation=True, max_length=max_len, padding=False,
+        )
+        return enc["input_ids"]
+
     def news_store(self, split: str) -> NewsStore:
         """Dense tokenized store for the raw split backing ``split``."""
         raw_split = "dev" if split == "test" else "train"
         if raw_split in self._stores:
             return self._stores[raw_split]
-        cache = os.path.join(self.split_dir(raw_split), "news_store.npz")
+        suffix = "_plm" if self.cfg.use_plm else ""
+        cache = os.path.join(self.split_dir(raw_split), f"news_store{suffix}.npz")
         if os.path.exists(cache):
             store = NewsStore.load(cache)
         else:
             news = self.load_news(raw_split)
+            if self.cfg.use_plm:
+                assert self.cfg.plm_tokenizer, "use_plm requires plm_tokenizer"
+                titles = self._plm_tokenize(
+                    news["title"].tolist(), self.cfg.tokenizer_max_len
+                )
+                abstracts = self._plm_tokenize(
+                    news["abstract"].tolist(), self.cfg.tokenizer_max_len
+                )
+            else:
+                titles = news["tokenized_title"].tolist()
+                abstracts = news["tokenized_abstract"].tolist()
+            max_title = (
+                self.cfg.tokenizer_max_len if self.cfg.use_plm else self.cfg.max_title_len
+            )
+            max_abs = (
+                self.cfg.tokenizer_max_len
+                if self.cfg.use_plm
+                else self.cfg.max_abstract_len
+            )
             store = build_news_store(
                 nids=news["nid"].tolist(),
-                tokenized_titles=news["tokenized_title"].tolist(),
-                max_title_len=self.cfg.max_title_len,
-                tokenized_abstracts=news["tokenized_abstract"].tolist(),
-                max_abstract_len=self.cfg.max_abstract_len,
+                tokenized_titles=titles,
+                max_title_len=max_title,
+                tokenized_abstracts=abstracts,
+                max_abstract_len=max_abs,
                 categories=news["category_class"].tolist(),
                 subcategories=news["subcategory_class"].tolist(),
                 sentiments=news["sentiment_class"].tolist(),
