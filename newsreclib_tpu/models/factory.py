@@ -39,10 +39,91 @@ def _common(cfg: Dict, info: DataInfo) -> Dict[str, Any]:
     }
 
 
+def _build_plm_tower(cfg: Dict):
+    """PLM text tower (reference use_plm path): port HF torch weights into
+    the from-scratch transformer; falls back to random init (with a loud
+    warning) when weights are unavailable (offline)."""
+    import logging
+
+    from newsreclib_tpu.models.components.plm import (
+        PLMTextEncoder,
+        TransformerEncoder,
+        load_hf_torch_weights,
+    )
+
+    log = logging.getLogger("newsreclib_tpu")
+    plm_name = cfg.get("plm_model", "roberta-base")
+    params = None
+    try:
+        params, kwargs = load_hf_torch_weights(plm_name)
+    except Exception as e:  # noqa: BLE001 — offline: weights not fetchable
+        log.warning(
+            "PLM weights for %r unavailable (%s); using RANDOM initialization "
+            "— fine for pipeline tests, useless for accuracy", plm_name, e,
+        )
+        kwargs = dict(
+            vocab_size=cfg.get("plm_vocab_size", 50265),
+            hidden_dim=cfg.get("embed_dim", 768),
+            num_layers=cfg.get("plm_num_layers", 12),
+            num_heads=cfg.get("plm_num_heads", 12),
+            intermediate_dim=4 * cfg.get("embed_dim", 768),
+        )
+    encoder = TransformerEncoder(**kwargs)
+    tower = PLMTextEncoder(
+        encoder=encoder,
+        use_mhsa=cfg.get("plm_use_mhsa", True),
+        num_heads=cfg.get("num_heads", 16),
+        query_dim=cfg.get("query_dim", 200),
+        apply_reduce_dim=cfg.get("apply_reduce_dim", False),
+        reduced_embed_dim=cfg.get("news_embed_dim"),
+        dropout=cfg.get("dropout_probability", 0.2),
+    )
+    return tower, params
+
+
+_pending_plm_params = None
+
+
+def take_pending_plm_params():
+    """Ported HF weights from the last ``build_model(use_plm=True)`` call;
+    splice into an initialized train state with ``splice_plm_params``."""
+    global _pending_plm_params
+    p, _pending_plm_params = _pending_plm_params, None
+    return p
+
+
+def splice_plm_params(params, ported):
+    """Replace every transformer-encoder subtree (identified by its
+    ``word_embeddings`` child) with the ported HF weights, in place."""
+    replaced = 0
+
+    def walk(node):
+        nonlocal replaced
+        if not isinstance(node, dict):
+            return
+        for key, child in node.items():
+            if (
+                isinstance(child, dict)
+                and key == "encoder"
+                and "word_embeddings" in child
+            ):
+                node[key] = ported
+                replaced += 1
+            else:
+                walk(child)
+
+    walk(params)
+    return replaced
+
+
 def build_model(cfg: Dict, info: DataInfo):
     """cfg: the ``model`` config node (must carry ``name``)."""
+    global _pending_plm_params
     name = cfg["name"]
     d = cfg.get("dropout_probability", 0.2)
+    plm_tower = None
+    if cfg.get("use_plm"):
+        plm_tower, _pending_plm_params = _build_plm_tower(cfg)
 
     if name == "nrms":
         return general_rec.NRMS(
@@ -51,6 +132,7 @@ def build_model(cfg: Dict, info: DataInfo):
             num_heads=cfg.get("num_heads", 15),
             query_dim=cfg.get("query_dim", 200),
             dropout=d,
+            text_encoder_module=plm_tower,
         )
     if name == "naml":
         return general_rec.NAML(
@@ -165,6 +247,7 @@ def build_model(cfg: Dict, info: DataInfo):
     if name == "miner":
         return general_rec.MINER(
             **_common(cfg, info),
+            text_encoder_module=plm_tower,
             num_categories=info.num_categories,
             text_embed_dim=cfg.get("text_embed_dim", 300),
             news_embed_dim=cfg.get("news_embed_dim", 256),

@@ -76,3 +76,50 @@ def test_plm_store_feeds_plm_model(tokenizer_dir, tmp_path):
     state = create_train_state(model, batch, jax.random.key(0), make_optimizer())
     scores, _ = model.apply({"params": state.params}, batch, deterministic=True)
     assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_plm_cli_with_local_weights(tokenizer_dir, tmp_path):
+    """Full train.py run in PLM mode: local tiny BERT weights ported + spliced."""
+    import sys
+
+    import torch
+    from transformers import BertConfig, BertModel
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from newsreclib_tpu.config.compose import compose
+    import train as train_mod
+
+    # save a tiny bert NEXT TO the tokenizer files so one dir serves both
+    torch.manual_seed(0)
+    model = BertModel(BertConfig(
+        vocab_size=30, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=40,
+    ))
+    model.save_pretrained(tokenizer_dir, safe_serialization=False)
+
+    data_dir = str(tmp_path / "mindplm")
+    write_mind_fixture(data_dir, num_news=40, num_train_behaviors=40, num_dev_behaviors=20)
+    cfg = compose(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "newsreclib_tpu", "configs"),
+        "train",
+        [
+            "data=mind_small_plm", "model=nrms",
+            f"data.data_dir={data_dir}/", "data.dataset_size=demo",
+            f"data.plm_tokenizer={tokenizer_dir}", "data.tokenizer_max_len=16",
+            "data.download=false", "data.generate_fixture=true",
+            "data.batch_size=4", "data.max_history_len=6",
+            "data.eval_target_cells=64", "data.u_bucket_min=64",
+            "model.use_plm=true", f"model.plm_model={tokenizer_dir}",
+            "model.embed_dim=32", "model.num_heads=4", "model.query_dim=16",
+            "model.use_pretrained_embeddings=false",
+            f"output_dir={tmp_path}/out",
+            "trainer.max_epochs=1", "trainer.limit_train_batches=2",
+            "trainer.limit_eval_batches=1",
+        ],
+    )
+    metrics = train_mod.run(cfg)
+    import numpy as np
+
+    assert np.isfinite(metrics["train/loss"])
+    assert "test/mrr" in metrics

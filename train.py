@@ -86,6 +86,9 @@ def setup_data(cfg: dict):
         sentiment_annotator=dc.get("sentiment_annotator", "lexicon"),
         download=dc.get("download", False),
         seed=dc.get("seed", 0),
+        use_plm=dc.get("use_plm", False),
+        plm_tokenizer=dc.get("plm_tokenizer"),
+        tokenizer_max_len=dc.get("tokenizer_max_len", 96),
     )
     mind = MINDData(mind_cfg)
     if dataset == "xmind":
@@ -236,6 +239,14 @@ def run(cfg: dict) -> dict:
         make_optimizer(opt_cfg.get("lr", 1e-4), opt_cfg.get("weight_decay", 0.0)),
     )
     log.info("params: %d", param_count(state.params))
+
+    if cfg["model"].get("use_plm"):
+        from newsreclib_tpu.models.factory import splice_plm_params, take_pending_plm_params
+
+        ported = take_pending_plm_params()
+        if ported is not None:
+            n = splice_plm_params(state.params, ported)
+            log.info("spliced ported PLM weights into %d encoder towers", n)
 
     trainer = Trainer(state, loss_fn, trainer_cfg, ranking=ranking, loggers=loggers)
 
