@@ -78,7 +78,12 @@ def _build_plm_tower(cfg: Dict):
         reduced_embed_dim=cfg.get("news_embed_dim"),
         dropout=cfg.get("dropout_probability", 0.2),
     )
-    return tower, params
+    tower_dim = (
+        cfg.get("news_embed_dim")
+        if cfg.get("apply_reduce_dim", False)
+        else kwargs["hidden_dim"]
+    )
+    return tower, params, tower_dim
 
 
 _pending_plm_params = None
@@ -121,9 +126,14 @@ def build_model(cfg: Dict, info: DataInfo):
     global _pending_plm_params
     name = cfg["name"]
     d = cfg.get("dropout_probability", 0.2)
-    plm_tower = None
+    plm_tower, plm_dim = None, None
     if cfg.get("use_plm"):
-        plm_tower, _pending_plm_params = _build_plm_tower(cfg)
+        plm_tower, _pending_plm_params, plm_dim = _build_plm_tower(cfg)
+    plm_kwargs = (
+        {"text_encoder_module": plm_tower, "text_encoder_dim": plm_dim}
+        if plm_tower is not None
+        else {}
+    )
 
     if name == "nrms":
         return general_rec.NRMS(
@@ -137,6 +147,7 @@ def build_model(cfg: Dict, info: DataInfo):
     if name == "naml":
         return general_rec.NAML(
             **_common(cfg, info),
+            **plm_kwargs,
             num_categories=info.num_categories,
             attributes2encode=tuple(cfg.get("attributes2encode", ("title", "abstract", "category"))),
             text_embed_dim=cfg.get("text_embed_dim", 300),
@@ -149,6 +160,7 @@ def build_model(cfg: Dict, info: DataInfo):
     if name == "lstur":
         return general_rec.LSTUR(
             **_common(cfg, info),
+            **plm_kwargs,
             num_users=info.num_users,
             num_categories=info.num_categories,
             attributes2encode=tuple(cfg.get("attributes2encode", ("title", "abstract", "category"))),
@@ -178,6 +190,7 @@ def build_model(cfg: Dict, info: DataInfo):
     if name == "tanr":
         return general_rec.TANR(
             **_common(cfg, info),
+            **plm_kwargs,
             num_categories=info.num_categories,
             embed_dim=cfg.get("embed_dim", 300),
             num_heads=cfg.get("num_heads", 15),
@@ -190,6 +203,7 @@ def build_model(cfg: Dict, info: DataInfo):
     if name == "caum":
         return general_rec.CAUM(
             **_common(cfg, info),
+            **plm_kwargs,
             entity_vocab_size=info.entity_vocab_size,
             num_categories=info.num_categories,
             attributes2encode=tuple(cfg.get("attributes2encode", ("title", "category", "title_entities"))),
@@ -209,6 +223,7 @@ def build_model(cfg: Dict, info: DataInfo):
     if name == "mins":
         return general_rec.MINS(
             **_common(cfg, info),
+            **plm_kwargs,
             num_categories=info.num_categories,
             attributes2encode=tuple(cfg.get("attributes2encode", ("title", "abstract", "category"))),
             text_embed_dim=cfg.get("text_embed_dim", 300),
@@ -221,13 +236,16 @@ def build_model(cfg: Dict, info: DataInfo):
     if name == "cen_news_rec":
         return general_rec.CenNewsRec(
             **_common(cfg, info),
+            **plm_kwargs,
             embed_dim=cfg.get("embed_dim", 300),
             num_heads=cfg.get("num_heads", 20),
             num_filters=cfg.get("num_filters", 400),
             window_size=cfg.get("window_size", 3),
             query_dim=cfg.get("query_dim", 200),
             dropout=d,
-            gru_hidden_dim=cfg.get("gru_hidden_dim", 400),
+            # short/long-term vectors are stacked in the user encoder, so the
+            # GRU hidden must match the news dim (the PLM tower's when use_plm)
+            gru_hidden_dim=cfg.get("gru_hidden_dim", plm_dim or 400),
             num_recent_news=cfg.get("num_recent_news", 20),
         )
     if name == "dkn":
@@ -266,6 +284,7 @@ def build_model(cfg: Dict, info: DataInfo):
 
         return fair_rec.SentiRec(
             **_common(cfg, info),
+            **plm_kwargs,
             embed_dim=cfg.get("embed_dim", 300),
             num_heads=cfg.get("num_heads", 15),
             query_dim=cfg.get("query_dim", 200),
@@ -277,6 +296,7 @@ def build_model(cfg: Dict, info: DataInfo):
         from newsreclib_tpu.models import fair_rec
 
         return fair_rec.MANNeRCR(
+            text_encoder_module=plm_tower,
             vocab_size=info.vocab_size,
             entity_vocab_size=info.entity_vocab_size,
             use_entities=cfg.get("use_entities", True),
@@ -295,9 +315,15 @@ def build_model(cfg: Dict, info: DataInfo):
 def build_senti_debias(cfg: Dict, info: DataInfo):
     """SentiDebias generator+discriminator pair (adversarial training path,
     see training/adversarial.py)."""
+    global _pending_plm_params
     from newsreclib_tpu.models import fair_rec
 
+    plm_kwargs = {}
+    if cfg.get("use_plm"):
+        plm_tower, _pending_plm_params, plm_dim = _build_plm_tower(cfg)
+        plm_kwargs = {"text_encoder_module": plm_tower, "text_encoder_dim": plm_dim}
     gen = fair_rec.SentiDebiasGenerator(
+        **plm_kwargs,
         vocab_size=info.vocab_size,
         num_sent_classes=info.num_sent_classes - 1,
         embed_dim=cfg.get("embed_dim", 300),

@@ -54,10 +54,13 @@ class SentiDebiasGenerator(nn.Module):
     dropout: float = 0.2
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
+    # pluggable text tower (reference use_plm path, ``senti_debias_module.py``)
+    text_encoder_module: Optional[nn.Module] = None
+    text_encoder_dim: Optional[int] = None
 
     @nn.compact
     def full_output(self, batch: RecBatch, deterministic: bool = True) -> Dict:
-        news_vecs = MHSAAddAtt(
+        news_encoder = self.text_encoder_module or MHSAAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.embed_dim,
             num_heads=self.num_heads,
@@ -65,11 +68,17 @@ class SentiDebiasGenerator(nn.Module):
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
             name="news_encoder",
-        )(batch.news.title, batch.news.title_mask, deterministic)
+        )
+        news_vecs = news_encoder(batch.news.title, batch.news.title_mask, deterministic)
+        # the sentiment tower must emit the same dim as the news tower: the
+        # bias-aware head dots user_aware (from sent vectors) with cand_sent
+        news_dim = (
+            self.text_encoder_dim if self.text_encoder_module is not None else self.embed_dim
+        )
         sent_vecs = SentimentEncoder(
             num_sent_classes=self.num_sent_classes,
             sent_embed_dim=self.sent_embed_dim,
-            sent_output_dim=self.embed_dim,
+            sent_output_dim=news_dim,
             name="sentiment_encoder",
         )(batch.news.sentiment)
 
@@ -204,7 +213,11 @@ def create_sentidebias_state(
         apply_fn=generator.apply, params=g_vars["params"], tx=optax.adam(g_lr),
         dropout_rng=drop_rng,
     )
-    embed_dim = generator.embed_dim
+    embed_dim = (
+        generator.text_encoder_dim
+        if generator.text_encoder_module is not None
+        else generator.embed_dim
+    )
     d_vars = discriminator.init(d_rng, jnp.zeros((1, embed_dim), jnp.float32))
     d_state = TrainState.create(
         apply_fn=discriminator.apply, params=d_vars["params"], tx=optax.adam(d_lr),

@@ -38,10 +38,13 @@ class SentiRec(nn.Module):
     sent_div_loss_coef: float = 10.0
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
+    # pluggable text tower (reference use_plm path, ``sentirec_module.py``)
+    text_encoder_module: Optional[nn.Module] = None
+    text_encoder_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = MHSAAddAtt(
+        news_encoder = self.text_encoder_module or MHSAAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.embed_dim,
             num_heads=self.num_heads,
@@ -49,7 +52,8 @@ class SentiRec(nn.Module):
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
             name="news_encoder",
-        )(batch.news.title, batch.news.title_mask, deterministic)
+        )
+        news_vecs = news_encoder(batch.news.title, batch.news.title_mask, deterministic)
 
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)

@@ -48,9 +48,13 @@ class CAUM(nn.Module):
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
     pretrained_entity_embeddings: Optional[np.ndarray] = None
+    # pluggable text tower (reference use_plm path, ``caum_module.py``);
+    # the linear combine absorbs whatever dim the tower emits
+    text_encoder_module: Optional[nn.Module] = None
+    text_encoder_dim: Optional[int] = None
 
     def setup(self):
-        text_encoder = MHSAAddAtt(
+        text_encoder = self.text_encoder_module or MHSAAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.text_embed_dim,
             num_heads=self.text_num_heads,

@@ -35,9 +35,12 @@ class CenNewsRec(nn.Module):
     num_recent_news: int = 20
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
+    # pluggable text tower (reference use_plm path, ``cen_news_rec_module.py``)
+    text_encoder_module: Optional[nn.Module] = None
+    text_encoder_dim: Optional[int] = None
 
     def setup(self):
-        self.news_encoder = CNNMHSAAddAtt(
+        self.news_encoder = self.text_encoder_module or CNNMHSAAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.embed_dim,
             num_filters=self.num_filters,

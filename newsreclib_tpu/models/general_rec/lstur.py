@@ -40,9 +40,12 @@ class LSTUR(nn.Module):
     long_short_term_method: str = "ini"
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
+    # pluggable text tower (reference use_plm path, ``lstur_module.py``)
+    text_encoder_module: Optional[nn.Module] = None
+    text_encoder_dim: Optional[int] = None
 
     def setup(self):
-        text_encoder = CNNAddAtt(
+        text_encoder = self.text_encoder_module or CNNAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.text_embed_dim,
             num_filters=self.num_filters,
@@ -64,12 +67,17 @@ class LSTUR(nn.Module):
             combine_type="concat",
         )
         if not self.late_fusion:
-            news_dim = self.num_filters + self.categ_embed_dim * (
+            t_dim = (
+                self.text_encoder_dim
+                if self.text_encoder_module is not None
+                else self.num_filters
+            )
+            news_dim = t_dim + self.categ_embed_dim * (
                 ("category" in self.attributes2encode)
                 + ("subcategory" in self.attributes2encode)
             )
             if "abstract" in self.attributes2encode and "title" in self.attributes2encode:
-                news_dim += self.num_filters
+                news_dim += t_dim
             self.user_encoder = LSTURUserEncoder(
                 num_users=self.num_users,
                 input_dim=news_dim,

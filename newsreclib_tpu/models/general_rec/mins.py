@@ -37,9 +37,12 @@ class MINS(nn.Module):
     num_gru_channels: int = 6
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
+    # pluggable text tower (reference use_plm path, ``mins_module.py``)
+    text_encoder_module: Optional[nn.Module] = None
+    text_encoder_dim: Optional[int] = None
 
     def setup(self):
-        text_encoder = MHSAAddAtt(
+        text_encoder = self.text_encoder_module or MHSAAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.text_embed_dim,
             num_heads=self.num_heads,
@@ -60,7 +63,12 @@ class MINS(nn.Module):
             combine_type="concat",
         )
         if not self.late_fusion:
-            news_dim = self.text_embed_dim * (
+            t_dim = (
+                self.text_encoder_dim
+                if self.text_encoder_module is not None
+                else self.text_embed_dim
+            )
+            news_dim = t_dim * (
                 ("title" in self.attributes2encode)
                 + ("abstract" in self.attributes2encode)
             ) + self.categ_embed_dim * (

@@ -36,9 +36,13 @@ class NAML(nn.Module):
     dropout: float = 0.2
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
+    # pluggable text tower (reference use_plm path, ``naml_module.py:150-161``);
+    # when set, downstream dims follow ``text_encoder_dim`` instead of num_filters
+    text_encoder_module: Optional[nn.Module] = None
+    text_encoder_dim: Optional[int] = None
 
     def setup(self):
-        text_encoder = CNNAddAtt(
+        text_encoder = self.text_encoder_module or CNNAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.text_embed_dim,
             num_filters=self.num_filters,
@@ -47,12 +51,15 @@ class NAML(nn.Module):
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
         )
+        text_out_dim = (
+            self.text_encoder_dim if self.text_encoder_module is not None else self.num_filters
+        )
         category_encoder = LinearEncoder(
             num_categories=self.num_categories,
             embed_dim=self.categ_embed_dim,
             use_dropout=False,
             linear_transform=True,
-            output_dim=self.num_filters,
+            output_dim=text_out_dim,
         )
         self.news_encoder = NewsEncoder(
             attributes2encode=self.attributes2encode,

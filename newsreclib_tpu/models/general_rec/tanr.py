@@ -38,9 +38,12 @@ class TANR(nn.Module):
     topic_pred_loss_coef: float = 0.2
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
+    # pluggable text tower (reference use_plm path, ``tanr_module.py``)
+    text_encoder_module: Optional[nn.Module] = None
+    text_encoder_dim: Optional[int] = None
 
     def setup(self):
-        self.news_encoder = CNNAddAtt(
+        self.news_encoder = self.text_encoder_module or CNNAddAtt(
             vocab_size=self.vocab_size,
             embed_dim=self.embed_dim,
             num_filters=self.num_filters,

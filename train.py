@@ -218,6 +218,16 @@ def run(cfg: dict) -> dict:
             gen, disc, example, _jax.random.key(cfg.get("seed", 0)),
             g_lr=opt_cfg.get("lr", 1e-5), d_lr=opt_cfg.get("d_lr", 2e-5),
         )
+        if cfg["model"].get("use_plm"):
+            from newsreclib_tpu.models.factory import (
+                splice_plm_params,
+                take_pending_plm_params,
+            )
+
+            ported = take_pending_plm_params()
+            if ported is not None:
+                n = splice_plm_params(sd_state.g.params, ported)
+                log.info("spliced ported PLM weights into %d generator towers", n)
         trainer = AdversarialTrainer(
             sd_state, build_loss(cfg["model"]), trainer_cfg,
             alpha=cfg["model"].get("alpha_coefficient", 0.15),
