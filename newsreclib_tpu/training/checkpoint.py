@@ -40,6 +40,8 @@ class Checkpointer:
         Returns True if this became the best checkpoint."""
         tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
         self._save_tree(tree, "last")
+        with open(os.path.join(self.directory, "last.json"), "w") as f:
+            json.dump({"step": step, "metric": metric, **(extra or {})}, f)
         is_best = metric is not None and (
             self.best_metric is None
             or (metric < self.best_metric if self.mode == "min" else metric > self.best_metric)
@@ -73,3 +75,14 @@ class Checkpointer:
 
     def has(self, which: str = "best") -> bool:
         return os.path.exists(self._path(which))
+
+    def meta(self, which: str = "last") -> Dict[str, Any]:
+        """Loop bookkeeping (epoch, global step, monitored metric) saved
+        alongside the tree — what ``Trainer.fit(resume=True)`` needs to pick
+        up where a run stopped (reference ``ckpt_path`` → ``trainer.fit``,
+        ``train.py:91``)."""
+        p = os.path.join(self.directory, f"{which}.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)

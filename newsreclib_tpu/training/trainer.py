@@ -110,11 +110,24 @@ class Trainer:
         self,
         train_batcher: TrainBatcher,
         val_batcher: Optional[EvalBatcher] = None,
+        resume: bool = False,
     ) -> Dict[str, float]:
+        """With ``resume=True``, restores the 'last' checkpoint (params,
+        optimizer state, epoch counter, best metric) and continues — the
+        reference's ``trainer.fit(ckpt_path=...)`` (``train.py:91``)."""
         best = None
         bad_epochs = 0
+        start_epoch = 0
+        if resume and self.ckpt and self.ckpt.has("last"):
+            self.state = self.ckpt.restore(self.state, "last")
+            meta = self.ckpt.meta("last")
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            self.global_step = int(meta.get("step", 0))
+            best = self.ckpt.best_metric
+            log.info("resumed from last checkpoint: epoch %d, step %d, best %s",
+                     start_epoch, self.global_step, best)
         history: Dict[str, float] = {}
-        for epoch in range(self.cfg.max_epochs):
+        for epoch in range(start_epoch, self.cfg.max_epochs):
             train_metrics = self.train_epoch(train_batcher, epoch)
             metrics = dict(train_metrics)
             if val_batcher is not None:
@@ -129,7 +142,8 @@ class Trainer:
                 monitored < best if self.cfg.mode == "min" else monitored > best
             )
             if self.ckpt:
-                self.ckpt.save(self.state, self.global_step, metric=monitored)
+                self.ckpt.save(self.state, self.global_step, metric=monitored,
+                               extra={"epoch": epoch})
             if improved:
                 best = monitored
                 bad_epochs = 0

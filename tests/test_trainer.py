@@ -76,3 +76,23 @@ def test_check_finite_raises(setup):
     )
     with pytest.raises(FloatingPointError):
         trainer.fit(train_b, None)
+
+
+def test_fit_resume_continues(setup, tmp_path):
+    train_b, val_b, model = setup
+    ckpt_dir = str(tmp_path / "resume_ck")
+
+    t1 = _trainer(model, train_b, ckpt_dir, max_epochs=2,
+                  limit_train_batches=2, limit_eval_batches=2)
+    t1.fit(train_b, val_b)
+    steps_after_2_epochs = t1.global_step
+    p1 = np.asarray(jax.tree_util.tree_leaves(t1.state.params)[0])
+
+    # fresh trainer resumes: starts at epoch 2, restores params + step
+    t2 = _trainer(model, train_b, ckpt_dir, max_epochs=4,
+                  limit_train_batches=2, limit_eval_batches=2)
+    p_fresh = np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0])
+    assert not np.array_equal(p1, p_fresh)  # fresh init differs
+    history = t2.fit(train_b, val_b, resume=True)
+    assert t2.global_step == steps_after_2_epochs + 2 * 2  # 2 more epochs
+    assert "train/loss" in history

@@ -198,7 +198,9 @@ def run(cfg: dict) -> dict:
         mode=tc.get("mode", "min"),
         log_every_n_steps=tc.get("log_every_n_steps", 50),
         check_finite=tc.get("check_finite", True),
-        ckpt_dir=os.path.join(out_dir, "checkpoints"),
+        # ckpt_path: resume fit from an existing checkpoint dir (reference
+        # ``trainer.fit(ckpt_path=...)``, train.py:91)
+        ckpt_dir=cfg.get("ckpt_path") or os.path.join(out_dir, "checkpoints"),
         limit_train_batches=tc.get("limit_train_batches"),
         limit_eval_batches=tc.get("limit_eval_batches"),
     )
@@ -234,7 +236,8 @@ def run(cfg: dict) -> dict:
             beta=cfg["model"].get("beta_coefficient", 10.0),
             ranking=ranking, loggers=loggers,
         )
-        metrics = trainer.fit(train_batcher, val_batcher)
+        metrics = trainer.fit(train_batcher, val_batcher,
+                              resume=bool(cfg.get("ckpt_path")))
         if cfg.get("test_after_train", True):
             metrics.update(trainer.test(test_batcher))
         log.info("final metrics: %s", {k: round(v, 4) for k, v in metrics.items()})
@@ -260,7 +263,8 @@ def run(cfg: dict) -> dict:
 
     trainer = Trainer(state, loss_fn, trainer_cfg, ranking=ranking, loggers=loggers)
 
-    metrics = trainer.fit(train_batcher, val_batcher)
+    metrics = trainer.fit(train_batcher, val_batcher,
+                          resume=bool(cfg.get("ckpt_path")))
     if cfg.get("test_after_train", True):
         metrics.update(trainer.test(test_batcher))
 
