@@ -312,10 +312,21 @@ class _BucketedAssembler:
         target_cells: int,
         min_cand_bucket: int = 8,
         max_cand_bucket: int = 512,
+        lean: bool = False,
     ):
         self.imp = impressions
         self.max_history_len = max_history_len
         self.target_cells = target_cells
+        # lean: minimal transfer bytes for the tunnel-attached serving path —
+        # uint16 indices when the id space fits, int8 labels, no masks or
+        # user ids (device side rebuilds them; serving.py::hydrate_batch)
+        self.lean = lean
+        max_row = 0
+        if lean and impressions.cand_flat.size:
+            max_row = max(
+                int(impressions.cand_flat.max()), int(impressions.hist_flat.max())
+            )
+        self._idx_dtype = np.uint16 if (lean and max_row < 65536) else np.int32
         sizes = np.diff(impressions.cand_offsets)
         caps = np.minimum(
             2 ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64),
@@ -346,16 +357,25 @@ class _BucketedAssembler:
             for start in range(0, len(idxs), b):
                 chunk = idxs[start : start + b]
                 n = len(chunk)
-                hist_idx = np.zeros((b, h), dtype=np.int32)
+                hist_idx = np.zeros((b, h), dtype=self._idx_dtype)
                 hist_idx[:n] = self._hist_pad[chunk]
-                cand_idx = np.zeros((b, c), dtype=np.int32)
-                labels = np.zeros((b, c), dtype=np.float32)
+                cand_idx = np.zeros((b, c), dtype=self._idx_dtype)
                 cand_idx[:n] = cand_pad[start : start + n]
+                valid = np.zeros(b, dtype=bool)
+                valid[:n] = True
+                if self.lean:
+                    labels = np.zeros((b, c), dtype=np.int8)
+                    labels[:n] = label_pad[start : start + n]
+                    yield RecBatch(
+                        news=None, hist_idx=hist_idx, hist_mask=None,
+                        cand_idx=cand_idx, cand_mask=None, labels=labels,
+                        user_idx=None, impression_valid=valid,
+                    )
+                    continue
+                labels = np.zeros((b, c), dtype=np.float32)
                 labels[:n] = label_pad[start : start + n]
                 user_idx = np.zeros(b, dtype=np.int32)
                 user_idx[:n] = self.imp.user_idx[chunk]
-                valid = np.zeros(b, dtype=bool)
-                valid[:n] = True
                 yield RecBatch(
                     news=None,
                     hist_idx=hist_idx,

@@ -39,6 +39,21 @@ class RankingMetrics:
         self.num_categ_classes = num_categ_classes
         self.num_sent_classes = num_sent_classes
 
+    def metric_names(self, with_categ: bool = True, with_sent: bool = True,
+                     with_hist: bool = True) -> list:
+        """Static key list matching ``per_impression``'s output dict — needed
+        to build a ``lax.scan`` carry before tracing (serving.py)."""
+        names = ["mrr"] + [f"ndcg@{k}" for k in self.top_k_list]
+        if with_categ:
+            names += [f"categ_div@{k}" for k in self.top_k_list]
+        if with_sent:
+            names += [f"sent_div@{k}" for k in self.top_k_list]
+        if with_categ and with_hist:
+            names += [f"categ_pers@{k}" for k in self.top_k_list]
+        if with_sent and with_hist:
+            names += [f"sent_pers@{k}" for k in self.top_k_list]
+        return names
+
     def per_impression(
         self,
         scores: jnp.ndarray,  # (B, C)
@@ -133,15 +148,25 @@ class StreamingEval:
     def finalize(self) -> Dict[str, float]:
         if self._sums is None:
             return {}
-        count = float(self._count)
-        out = {k: float(v) / max(count, 1.0) for k, v in self._sums.items()}
+        # stack → ONE host fetch (per-scalar float() is one tunnel RTT each)
+        keys = sorted(self._sums)
+        fetch = [self._count] + [self._sums[k] for k in keys]
         if self._parts:
             preds = jnp.concatenate([p[0] for p in self._parts])
             targets = jnp.concatenate([p[1] for p in self._parts])
             weights = jnp.concatenate([p[2] for p in self._parts])
-            out["auc"] = float(F.binary_auc_weighted(preds, targets, weights))
+            fetch.append(F.binary_auc_weighted(preds, targets, weights))
         if self._loss_n:
-            out["loss"] = float(self._loss_sum) / self._loss_n
+            fetch.append(self._loss_sum)
+        vals = np.asarray(jnp.stack([jnp.asarray(x, jnp.float32) for x in fetch]))
+        count = max(float(vals[0]), 1.0)
+        out = {k: float(vals[1 + i]) / count for i, k in enumerate(keys)}
+        cursor = 1 + len(keys)
+        if self._parts:
+            out["auc"] = float(vals[cursor])
+            cursor += 1
+        if self._loss_n:
+            out["loss"] = float(vals[cursor]) / self._loss_n
         return out
 
 

@@ -17,7 +17,7 @@ with user-conditioned news encoders, e.g. NPA, cannot use this path).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,99 @@ from newsreclib_tpu.metrics.collector import RankingMetrics, StreamingEval
 from newsreclib_tpu.models.base import mask_scores
 
 
+# ---- lean host→device transfers -------------------------------------------
+# The axon-tunneled TPU moves host arrays at ~10MB/s, so serving epochs are
+# transfer-bound, not compute-bound (measured: 3.2ms device compute vs 33ms
+# wall per 512-impression batch).  "Lean" batches narrow index dtypes to
+# uint16 when the id space fits, drop masks (reconstructed on device as
+# ``!= 0``), and ship labels as int8 — roughly 3× fewer bytes on the wire.
+
+
+def lean_news(feats: NewsFeatures) -> NewsFeatures:
+    """Narrow a host-side NewsFeatures for transfer (see hydrate_news)."""
+    repl = {}
+    for f, v in feats._asdict().items():
+        if v is None:
+            continue
+        if f.endswith("_mask"):
+            repl[f] = None
+        elif v.dtype == np.int32 and v.size and 0 <= v.min() and v.max() < 65536:
+            repl[f] = v.astype(np.uint16)
+    return feats._replace(**repl)
+
+
+def hydrate_news(feats: NewsFeatures) -> NewsFeatures:
+    """Device-side (traced) inverse of lean_news: widen ints, rebuild masks."""
+    d = feats._asdict()
+    for f, v in list(d.items()):
+        if v is not None and not f.endswith("_mask") and v.dtype == jnp.uint16:
+            d[f] = v.astype(jnp.int32)
+    for f, v in list(d.items()):
+        if f.endswith("_mask") and v is None:
+            src = d[f[: -len("_mask")]]
+            if src is not None:
+                d[f] = src != 0
+    return NewsFeatures(**d)
+
+
+def hydrate_batch(batch: RecBatch) -> RecBatch:
+    """Device-side (traced) inverse of the assembler's lean mode."""
+    hist_idx = batch.hist_idx.astype(jnp.int32)
+    cand_idx = batch.cand_idx.astype(jnp.int32)
+    return batch._replace(
+        hist_idx=hist_idx,
+        cand_idx=cand_idx,
+        hist_mask=batch.hist_mask if batch.hist_mask is not None else hist_idx != 0,
+        cand_mask=batch.cand_mask if batch.cand_mask is not None else cand_idx != 0,
+        labels=None if batch.labels is None else batch.labels.astype(jnp.float32),
+    )
+
+
+# jitted encode_news per live model instance: a fresh jax.jit per call would
+# recompile the encoder EVERY epoch (measured 4.1s of a 5.5s serving epoch).
+# The closure keeps the model alive, so id() stays valid while cached.
+_ENCODE_JIT_CACHE: Dict[int, Callable] = {}
+
+
+def _encode_fn(model):
+    fn = _ENCODE_JIT_CACHE.get(id(model))
+    if fn is None:
+        fn = jax.jit(
+            lambda p, news: model.apply(
+                {"params": p}, hydrate_news(news), deterministic=True,
+                method="encode_news",
+            )
+        )
+        _ENCODE_JIT_CACHE[id(model)] = fn
+    return fn
+
+
+_SCAN_ENCODE_JIT_CACHE: Dict[int, Callable] = {}
+_CORPUS_FEATS_CACHE: Dict[tuple, tuple] = {}
+
+
+def _scan_encode_fn(model):
+    """Encode (n_chunks, chunk, ...) stacked features in ONE dispatch."""
+    fn = _SCAN_ENCODE_JIT_CACHE.get(id(model))
+    if fn is None:
+
+        @jax.jit
+        def scan_encode(params, stacked):
+            def body(_, news):
+                vecs = model.apply(
+                    {"params": params}, hydrate_news(news), deterministic=True,
+                    method="encode_news",
+                )
+                return None, vecs
+
+            _, out = jax.lax.scan(body, None, stacked)
+            return out
+
+        fn = scan_encode
+        _SCAN_ENCODE_JIT_CACHE[id(model)] = fn
+    return fn
+
+
 def build_news_vector_table(
     model,
     params,
@@ -37,25 +130,32 @@ def build_news_vector_table(
     batch_size: int = 4096,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Encode the whole corpus once → (N+1, D) device table (row 0 zero)."""
-    n = store.title.shape[0]
+    """Encode the whole corpus once → (N+1, D) device table (row 0 zero).
 
-    encode = jax.jit(
-        lambda p, news: model.apply(
-            {"params": p}, news, deterministic=True, method="encode_news"
-        )
-    )
-    chunks = []
-    for start in range(0, n, batch_size):
-        rows = np.arange(start, min(start + batch_size, n))
-        if len(rows) < batch_size:  # pad to keep one compiled shape
-            rows = np.concatenate([rows, np.zeros(batch_size - len(rows), np.int64)])
-        feats = store.features_for(rows)
-        vecs = encode(params, feats)
-        chunks.append(np.asarray(vecs[: min(batch_size, n - start)], dtype=np.float32))
-    table = np.concatenate(chunks, axis=0)
-    table[0] = 0.0
-    return jnp.asarray(table, dtype=dtype)
+    Chunks stay on device (no host round-trip: the table never leaves HBM —
+    a 500k-article f32 table is ~600MB of tunnel traffic if it does), and the
+    whole corpus is encoded in ONE dispatch (lax.scan over chunks: per-chunk
+    dispatch costs ~30ms RTT each on the tunnel-attached TPU).
+
+    The corpus token arrays are static across parameter versions, so the
+    device copy is cached per (store, batch_size); only the encode re-runs
+    when params change."""
+    n = store.title.shape[0]
+    key = (id(store), batch_size)
+    hit = _CORPUS_FEATS_CACHE.get(key)
+    if hit is None:
+        n_chunks = max(1, -(-n // batch_size))
+        rows = np.zeros(n_chunks * batch_size, dtype=np.int64)
+        rows[:n] = np.arange(n)
+        feats = lean_news(store.features_for(rows))
+        stacked = jax.device_put(jax.tree.map(
+            lambda x: x.reshape(n_chunks, batch_size, *x.shape[1:]), feats
+        ))
+        # the store reference pins id(store) while cached
+        _CORPUS_FEATS_CACHE[key] = hit = (store, stacked)
+    out = _scan_encode_fn(model)(params, hit[1])  # (n_chunks, chunk, D)
+    table = out.reshape(-1, out.shape[-1])[:n].astype(dtype)
+    return table.at[0].set(0.0)
 
 
 class GlobalEvalBatcher:
@@ -70,11 +170,13 @@ class GlobalEvalBatcher:
         target_cells: int = 16384,
         min_cand_bucket: int = 8,
         max_cand_bucket: int = 512,
+        lean: bool = False,
     ):
         from newsreclib_tpu.data.batching import _BucketedAssembler
 
         self._assembler = _BucketedAssembler(
-            impressions, max_history_len, target_cells, min_cand_bucket, max_cand_bucket
+            impressions, max_history_len, target_cells, min_cand_bucket,
+            max_cand_bucket, lean=lean,
         )
 
     def __iter__(self) -> Iterator[RecBatch]:
@@ -88,8 +190,10 @@ class CachedScorer:
     def __init__(self, model, ranking: Optional[RankingMetrics] = None):
         self.model = model
         self.ranking = ranking or RankingMetrics()
+        self._group_cache: Dict[tuple, tuple] = {}
 
-        def step(params, batch: RecBatch, news_table, categ_table, sent_table):
+        def step_body(params, batch: RecBatch, news_table, categ_table, sent_table):
+            batch = hydrate_batch(batch)  # lean wire format → full batch
             scores = self.model.apply(
                 {"params": params}, batch, news_table, deterministic=True,
                 method="score_with_vectors",
@@ -107,9 +211,36 @@ class CachedScorer:
             per_imp = self.ranking.per_impression(
                 scores, batch.labels, batch.cand_mask, **kwargs
             )
-            return scores, per_imp
+            return scores, per_imp, batch
 
-        self._step = jax.jit(step)
+        self._step = jax.jit(
+            lambda p, b, nt, ct, st: step_body(p, b, nt, ct, st)[:2]
+        )
+
+        # one dispatch per shape-group: scan over stacked batches with the
+        # metric sums in the carry.  Dispatching batch-by-batch costs ~30ms
+        # per call on the tunnel-attached TPU (measured) even with
+        # device-resident args — 32 batches made a 0.1s epoch take 1s.
+        @partial(jax.jit, static_argnames=("collect_auc",))
+        def scan_epoch(params, stacked, news_table, categ_table, sent_table,
+                       sums, count, collect_auc=False):
+            def body(carry, batch):
+                sums, count = carry
+                scores, per_imp, b = step_body(
+                    params, batch, news_table, categ_table, sent_table
+                )
+                v = b.impression_valid.astype(jnp.float32)
+                new_sums = {k: sums[k] + jnp.sum(per_imp[k] * v) for k in sums}
+                ys = None
+                if collect_auc:
+                    w = (b.cand_mask & b.impression_valid[:, None]).astype(jnp.float32)
+                    ys = (scores.ravel(), (b.labels * w).ravel(), w.ravel())
+                return (new_sums, count + jnp.sum(v)), ys
+
+            (sums, count), ys = jax.lax.scan(body, (sums, count), stacked)
+            return sums, count, ys
+
+        self._scan_epoch = scan_epoch
 
     def evaluate(
         self,
@@ -124,21 +255,58 @@ class CachedScorer:
         table = build_news_vector_table(self.model, params, store, encode_batch)
         categ = None if store.category is None else jnp.asarray(store.category)
         sent = None if store.sentiment is None else jnp.asarray(store.sentiment)
-        stream = StreamingEval(collect_auc=collect_auc)
-        return self._run(params, store, impressions, table, categ, sent, stream,
-                         max_history_len, target_cells)
+        return self._run(params, impressions, table, categ, sent,
+                         max_history_len, target_cells, collect_auc)
 
-    def _run(self, params, store, impressions, table, categ, sent, stream,
-             max_history_len, target_cells):
-        batcher = GlobalEvalBatcher(impressions, max_history_len, target_cells)
-        for batch in batcher:
-            scores, per_imp = self._step(params, batch, table, categ, sent)
-            stream.update(
-                scores, per_imp, jnp.asarray(batch.impression_valid),
-                batch.labels if stream.collect_auc else None,
-                batch.cand_mask if stream.collect_auc else None,
+    def _run(self, params, impressions, table, categ, sent,
+             max_history_len, target_cells, collect_auc):
+        import newsreclib_tpu.metrics.functional as F
+
+        # impression index arrays are static across parameter versions
+        # (training-loop eval re-runs the same val/test set every epoch):
+        # cache the stacked device-resident groups
+        ckey = (id(impressions), max_history_len, target_cells)
+        hit = self._group_cache.get(ckey)
+        if hit is None:
+            groups: Dict[tuple, list] = {}
+            batcher = GlobalEvalBatcher(
+                impressions, max_history_len, target_cells, lean=True
             )
-        return stream.finalize()
+            for b in batcher:
+                groups.setdefault((b.hist_idx.shape, b.cand_idx.shape), []).append(b)
+            stacked_groups = [
+                jax.device_put(jax.tree.map(lambda *xs: np.stack(xs), *groups[key]))
+                for key in sorted(groups)
+            ]
+            # the impressions reference pins id(impressions) while cached
+            self._group_cache[ckey] = hit = (impressions, stacked_groups)
+
+        names = self.ranking.metric_names(categ is not None, sent is not None)
+        sums = {n: jnp.zeros((), jnp.float32) for n in names}
+        count = jnp.zeros((), jnp.float32)
+        parts = []
+        for stacked in hit[1]:
+            sums, count, ys = self._scan_epoch(
+                params, stacked, table, categ, sent, sums, count,
+                collect_auc=collect_auc,
+            )
+            if ys is not None:
+                parts.append(ys)
+        # single host fetch: per-scalar float() costs one ~30ms RTT each on
+        # the tunnel-attached TPU
+        fetch = [count] + [sums[k] for k in names]
+        if parts:
+            fetch.append(F.binary_auc_weighted(
+                jnp.concatenate([p[0].ravel() for p in parts]),
+                jnp.concatenate([p[1].ravel() for p in parts]),
+                jnp.concatenate([p[2].ravel() for p in parts]),
+            ))
+        vals = np.asarray(jnp.stack(fetch))
+        n = max(float(vals[0]), 1.0)
+        out = {k: float(vals[1 + i]) / n for i, k in enumerate(names)}
+        if parts:
+            out["auc"] = float(vals[-1])
+        return out
 
     def export_recommendations(
         self,

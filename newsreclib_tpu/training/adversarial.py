@@ -9,6 +9,7 @@ validation/test over the generator's bias-free scores.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -45,16 +46,37 @@ class AdversarialTrainer:
         )
         self.loggers = list(loggers)
         self.global_step = 0
+        # the generator rides the standard Trainer's checkpointer (best+last);
+        # the discriminator needs its own 'last' for resume (both optimizer
+        # states must survive a restart in alternating-GAN training)
+        self._d_ckpt = (
+            Checkpointer(os.path.join(cfg.ckpt_dir, "disc")) if cfg.ckpt_dir else None
+        )
 
     def _log(self, metrics: Dict[str, float], step: int) -> None:
         for lg in self.loggers:
             lg.log_metrics(metrics, step)
 
-    def fit(self, train_batcher: TrainBatcher, val_batcher: Optional[EvalBatcher] = None):
+    def fit(self, train_batcher: TrainBatcher, val_batcher: Optional[EvalBatcher] = None,
+            resume: bool = False):
         best = None
         bad = 0
+        start_epoch = 0
+        ckpt = self._eval_trainer.ckpt
+        if resume and ckpt and ckpt.has("last"):
+            g = ckpt.restore(self.state.g, "last")
+            d = self.state.d
+            if self._d_ckpt and self._d_ckpt.has("last"):
+                d = self._d_ckpt.restore(self.state.d, "last")
+            self.state = SentiDebiasState(g, d)
+            meta = ckpt.meta("last")
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            self.global_step = int(meta.get("step", 0))
+            best = ckpt.best_metric
+            log.info("resumed adversarial training: epoch %d, step %d",
+                     start_epoch, self.global_step)
         history: Dict[str, float] = {}
-        for epoch in range(self.cfg.max_epochs):
+        for epoch in range(start_epoch, self.cfg.max_epochs):
             g_losses, d_losses = [], []
             for i, batch in enumerate(train_batcher.epoch(epoch)):
                 if self.cfg.limit_train_batches and i >= self.cfg.limit_train_batches:
@@ -86,7 +108,10 @@ class AdversarialTrainer:
             )
             if self._eval_trainer.ckpt:
                 self._eval_trainer.state = self.state.g
-                self._eval_trainer.ckpt.save(self.state.g, self.global_step, metric=monitored)
+                self._eval_trainer.ckpt.save(self.state.g, self.global_step,
+                                             metric=monitored, extra={"epoch": epoch})
+                if self._d_ckpt:
+                    self._d_ckpt.save(self.state.d, self.global_step)
             if improved:
                 best, bad = monitored, 0
             else:
