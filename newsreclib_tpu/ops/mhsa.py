@@ -104,16 +104,18 @@ def fused_small_mhsa(
     scale = 1.0 / float(np.sqrt(d // num_heads))
 
     grid = (up // block_u,)
-    spec = lambda off: pl.BlockSpec(
-        (block_u, l, d), lambda i: (i, 0, off), memory_space=pltpu.VMEM
-    )
+    # q/k/v split OUTSIDE the kernel: a block whose last dim is a D-wide
+    # column window of the 3D-wide qkv array cannot lower (Mosaic requires
+    # the last two block dims to be 8/128-multiples or the full array dims)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    spec = pl.BlockSpec((block_u, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attention_kernel, num_heads=num_heads, scale=scale),
         grid=grid,
         in_specs=[
-            spec(0),  # q columns [0, D)
-            spec(1),  # k columns [D, 2D)
-            spec(2),  # v columns [2D, 3D)
+            spec,
+            spec,
+            spec,
             pl.BlockSpec((block_u, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -122,7 +124,7 @@ def fused_small_mhsa(
         ),
         out_shape=jax.ShapeDtypeStruct((up, l, d), qkv.dtype),
         interpret=interpret,
-    )(qkv, qkv, qkv, maskf, e)
+    )(q, k, v, maskf, e)
     return out[:u]
 
 
