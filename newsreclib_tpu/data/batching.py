@@ -277,6 +277,7 @@ class EvalBatcher:
         min_cand_bucket: int = 8,
         max_cand_bucket: int = 512,
         u_bucket_min: int = 512,
+        batch_multiple: int = 1,
     ):
         self.store = store
         self.imp = impressions
@@ -284,7 +285,8 @@ class EvalBatcher:
         self.target_cells = target_cells
         self.u_bucket_min = u_bucket_min
         self._assembler = _BucketedAssembler(
-            impressions, max_history_len, target_cells, min_cand_bucket, max_cand_bucket
+            impressions, max_history_len, target_cells, min_cand_bucket,
+            max_cand_bucket, batch_multiple=batch_multiple,
         )
 
     def __iter__(self) -> Iterator[RecBatch]:
@@ -313,21 +315,42 @@ class _BucketedAssembler:
         min_cand_bucket: int = 8,
         max_cand_bucket: int = 512,
         lean: bool = False,
+        batch_multiple: int = 1,
     ):
         self.imp = impressions
         self.max_history_len = max_history_len
         self.target_cells = target_cells
+        # batch rows must divide the mesh's data axis for sharded eval;
+        # partial batches pad with invalid rows either way
+        self.batch_multiple = max(1, int(batch_multiple))
         # lean: minimal transfer bytes for the tunnel-attached serving path —
-        # uint16 indices when the id space fits, int8 labels, no masks or
-        # user ids (device side rebuilds them; serving.py::hydrate_batch)
+        # uint16 indices when the id space fits, int8 labels, no masks
+        # (rebuilt device-side as ``!= 0``; serving.py::hydrate_batch).
+        # user_idx IS kept: an int32 (B,) vector is negligible wire cost and
+        # user-indexed models (LSTUR/NPA) read it at trace time.
         self.lean = lean
         max_row = 0
-        if lean and impressions.cand_flat.size:
+        if lean:
             max_row = max(
-                int(impressions.cand_flat.max()), int(impressions.hist_flat.max())
+                (int(arr.max()) for arr in (impressions.cand_flat, impressions.hist_flat)
+                 if arr.size),
+                default=0,
             )
         self._idx_dtype = np.uint16 if (lean and max_row < 65536) else np.int32
         sizes = np.diff(impressions.cand_offsets)
+        n_trunc = int(np.sum(sizes > max_cand_bucket))
+        if n_trunc:
+            # candidates beyond the largest bucket are silently dropped from
+            # scoring — loud warning so a MINDlarge-scale impression set
+            # doesn't quietly lose tail candidates (MIND maxes ~300)
+            import logging
+
+            logging.getLogger("newsreclib_tpu").warning(
+                "%d/%d impressions have more than max_cand_bucket=%d candidates; "
+                "their tails will be TRUNCATED in evaluation (max seen: %d). "
+                "Raise max_cand_bucket to score them fully.",
+                n_trunc, len(sizes), max_cand_bucket, int(sizes.max()),
+            )
         caps = np.minimum(
             2 ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64),
             max_cand_bucket,
@@ -342,6 +365,8 @@ class _BucketedAssembler:
         h = self.max_history_len
         for c, idxs in sorted(self.buckets.items()):
             b = max(1, self.target_cells // c)
+            if self.batch_multiple > 1:
+                b = max(self.batch_multiple, b - (b % self.batch_multiple))
             # per-bucket padded candidate arrays, built vectorized
             lens = np.minimum(
                 np.diff(self.imp.cand_offsets)[idxs], c
@@ -366,10 +391,12 @@ class _BucketedAssembler:
                 if self.lean:
                     labels = np.zeros((b, c), dtype=np.int8)
                     labels[:n] = label_pad[start : start + n]
+                    lean_uidx = np.zeros(b, dtype=np.int32)
+                    lean_uidx[:n] = self.imp.user_idx[chunk]
                     yield RecBatch(
                         news=None, hist_idx=hist_idx, hist_mask=None,
                         cand_idx=cand_idx, cand_mask=None, labels=labels,
-                        user_idx=None, impression_valid=valid,
+                        user_idx=lean_uidx, impression_valid=valid,
                     )
                     continue
                 labels = np.zeros((b, c), dtype=np.float32)

@@ -114,6 +114,7 @@ class StreamingEval:
         self._sums = None
         self._count = None
         self._loss_sum = None
+        self._loss_w = None
         self._loss_n = 0
         self._parts: List = []
 
@@ -142,7 +143,16 @@ class StreamingEval:
                 self._flat_fn(scores, jnp.asarray(labels), jnp.asarray(cand_mask), valid)
             )
         if loss is not None:
-            self._loss_sum = loss if self._loss_sum is None else self._loss_sum + loss
+            # impression-weighted so the epoch loss is invariant to how the
+            # impressions were partitioned into buckets/batches (matches the
+            # cached serving path's accumulation)
+            nv = jnp.sum(valid.astype(jnp.float32))
+            contrib = loss * nv
+            if self._loss_sum is None:
+                self._loss_sum, self._loss_w = contrib, nv
+            else:
+                self._loss_sum = self._loss_sum + contrib
+                self._loss_w = self._loss_w + nv
             self._loss_n += 1
 
     def finalize(self) -> Dict[str, float]:
@@ -158,6 +168,7 @@ class StreamingEval:
             fetch.append(F.binary_auc_weighted(preds, targets, weights))
         if self._loss_n:
             fetch.append(self._loss_sum)
+            fetch.append(self._loss_w)
         vals = np.asarray(jnp.stack([jnp.asarray(x, jnp.float32) for x in fetch]))
         count = max(float(vals[0]), 1.0)
         out = {k: float(vals[1 + i]) / count for i, k in enumerate(keys)}
@@ -166,7 +177,7 @@ class StreamingEval:
             out["auc"] = float(vals[cursor])
             cursor += 1
         if self._loss_n:
-            out["loss"] = float(vals[cursor]) / self._loss_n
+            out["loss"] = float(vals[cursor]) / max(float(vals[cursor + 1]), 1.0)
         return out
 
 

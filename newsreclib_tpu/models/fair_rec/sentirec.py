@@ -11,6 +11,10 @@ before computing ``sent_pred_loss(sent_scores.flatten(), sent_scores)`` — an
 always-zero loss (a bug).  This implementation applies the intended
 semantics: L1 between the prediction head's output and the annotated
 sentiment scores.
+
+The news tower is user-independent, so SentiRec supports the cached-serving
+split (``encode_news`` + ``score_with_vectors``); the aux sentiment losses
+only exist on the fused training path.
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
 from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.text import MHSAAddAtt
@@ -42,31 +46,45 @@ class SentiRec(nn.Module):
     text_encoder_module: Optional[nn.Module] = None
     text_encoder_dim: Optional[int] = None
 
-    @nn.compact
-    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_encoder = self.text_encoder_module or MHSAAddAtt(
-            vocab_size=self.vocab_size,
-            embed_dim=self.embed_dim,
-            num_heads=self.num_heads,
-            query_dim=self.query_dim,
-            dropout=self.dropout,
-            pretrained=self.pretrained_embeddings,
-            name="news_encoder",
-        )
-        news_vecs = news_encoder(batch.news.title, batch.news.title_mask, deterministic)
+    def setup(self):
+        if self.text_encoder_module is not None:
+            self.news_encoder = self.text_encoder_module
+        else:
+            self.news_encoder = MHSAAddAtt(
+                vocab_size=self.vocab_size,
+                embed_dim=self.embed_dim,
+                num_heads=self.num_heads,
+                query_dim=self.query_dim,
+                dropout=self.dropout,
+                pretrained=self.pretrained_embeddings,
+            )
+        if not self.late_fusion:
+            self.user_encoder = NRMSUserEncoder(
+                num_heads=self.num_heads, query_dim=self.query_dim
+            )
+        self.sent_predictor = nn.Dense(1)
 
+    def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        """(U, L) unique news → (U, D) vectors (cacheable)."""
+        return self.news_encoder(news.title, news.title_mask, deterministic)
+
+    def score_with_vectors(
+        self, batch: RecBatch, news_vecs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)
         if self.late_fusion:
             user = late_fusion_user(hist, batch.hist_mask)
         else:
-            user = NRMSUserEncoder(
-                num_heads=self.num_heads, query_dim=self.query_dim, name="user_encoder"
-            )(hist, batch.hist_mask, deterministic)
-        scores = dot_product_scores(user, cand)
+            user = self.user_encoder(hist, batch.hist_mask, deterministic)
+        return dot_product_scores(user, cand)
+
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = self.encode_news(batch.news, deterministic)
+        scores = self.score_with_vectors(batch, news_vecs, deterministic)
 
         # sentiment regression head over unique news (each article once)
-        pred_sent = nn.Dense(1, name="sent_predictor")(news_vecs)[..., 0]
+        pred_sent = self.sent_predictor(news_vecs)[..., 0]
         news_valid = jnp.any(batch.news.title_mask, axis=-1).astype(jnp.float32)
         l1 = jnp.abs(pred_sent - batch.news.sentiment_score) * news_valid
         sent_pred_loss = jnp.sum(l1) / jnp.maximum(jnp.sum(news_valid), 1.0)

@@ -16,9 +16,11 @@ plus one deep MXU matmul (BU·L, D) @ (D, H); the output pass uses the
 transpose ((w_m @ Eᵀ) ⊙ v_m, accumulated).  All intermediates stay in VMEM;
 the only HBM traffic is qkv in / context out.
 
-Layout: qkv (U, L, 3D) from one fused input projection; grid over article
-blocks of BU; the same array is passed three times with different column
-offsets for q/k/v.  The L-loop (static, ~30 iterations) is unrolled.
+Layout: qkv (U, L, 3D) from one fused input projection is split into
+separate q/k/v arrays OUTSIDE the kernel (a block whose last dim is a
+D-wide column window of the 3D-wide array cannot lower — Mosaic requires
+the last block dims to be 8/128-multiples or the full array dims); grid
+over article blocks of BU.  The L-loop (static, ~30 iterations) is unrolled.
 """
 
 from __future__ import annotations

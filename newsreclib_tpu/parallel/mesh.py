@@ -43,6 +43,38 @@ def row_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("model", None))
 
 
+def param_shardings(params, mesh: Mesh, row_shard_embeddings: bool = True):
+    """Sharding pytree for model params: everything replicated except 2-D
+    ``*/embedding/embedding`` tables (word/entity vocab tables), which are
+    row-sharded over the ``model`` axis when it is >1 (SURVEY.md §2.6:
+    MINDlarge GloVe vocab ~0.5M rows × 300 — the only param big enough to
+    matter)."""
+    want_rows = row_shard_embeddings and mesh.shape.get("model", 1) > 1
+
+    def spec_for(path, x):
+        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        if want_rows and x.ndim == 2 and name.endswith("embedding/embedding"):
+            return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def place_state(state, mesh: Mesh, row_shard_embeddings: bool = True):
+    """Place a TrainState onto the mesh: params per ``param_shardings``,
+    optimizer state + RNG replicated.  The production multi-device path
+    (``train.py`` / ``Trainer``) and the driver dryrun both go through here."""
+    shardings = param_shardings(state.params, mesh, row_shard_embeddings)
+    params = jax.tree.map(jax.device_put, state.params, shardings)
+    repl = replicated(mesh)
+    opt_state = jax.tree.map(lambda x: jax.device_put(x, repl), state.opt_state)
+    return state.replace(
+        params=params,
+        opt_state=opt_state,
+        dropout_rng=jax.device_put(state.dropout_rng, repl),
+    )
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch onto the mesh, sharded over the data axis.
 
@@ -53,11 +85,27 @@ def shard_batch(batch, mesh: Mesh):
 
     data_s = batch_sharding(mesh)
     repl = replicated(mesh)
+    multi_host = jax.process_count() > 1
 
     def place(x, shard):
+        if multi_host and shard is data_s:
+            # each process holds only its shard of the global batch
+            # (parallel/data.py::shard_impressions); assemble the global
+            # array from per-process local data (SNIPPETS.md pattern [3])
+            return jax.make_array_from_process_local_data(shard, np.asarray(x))
         return jax.device_put(x, shard)
 
     if isinstance(batch, RecBatch):
+        if multi_host and batch.news is not None:
+            # A per-batch deduped news table is process-local (each host
+            # deduped ITS impression shard), so it cannot be replicated as a
+            # global array.  Multi-host batches must use global store rows
+            # (news=None + a device-resident corpus table — the serving path
+            # layout) instead of per-batch tables.
+            raise NotImplementedError(
+                "multi-host shard_batch requires global-row batches "
+                "(news=None); per-batch dedup tables are process-local"
+            )
         news = jax.tree.map(lambda x: place(x, repl), batch.news)
         rest = jax.tree.map(lambda x: place(x, data_s), batch._replace(news=None)._asdict())
         rest["news"] = news

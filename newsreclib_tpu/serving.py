@@ -78,27 +78,20 @@ def hydrate_batch(batch: RecBatch) -> RecBatch:
     )
 
 
-# jitted encode_news per live model instance: a fresh jax.jit per call would
+# jitted scan-encode per live model instance: a fresh jax.jit per call would
 # recompile the encoder EVERY epoch (measured 4.1s of a 5.5s serving epoch).
-# The closure keeps the model alive, so id() stays valid while cached.
-_ENCODE_JIT_CACHE: Dict[int, Callable] = {}
-
-
-def _encode_fn(model):
-    fn = _ENCODE_JIT_CACHE.get(id(model))
-    if fn is None:
-        fn = jax.jit(
-            lambda p, news: model.apply(
-                {"params": p}, hydrate_news(news), deterministic=True,
-                method="encode_news",
-            )
-        )
-        _ENCODE_JIT_CACHE[id(model)] = fn
-    return fn
-
-
+# Single-entry caches (last model / last corpus wins): an id()-keyed dict
+# never evicts and would pin every store + device-resident token array for
+# the process lifetime when evaluating multiple corpora or models.
 _SCAN_ENCODE_JIT_CACHE: Dict[int, Callable] = {}
 _CORPUS_FEATS_CACHE: Dict[tuple, tuple] = {}
+_CACHE_MAX_ENTRIES = 2  # val + test stores of the current run
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    while len(cache) >= _CACHE_MAX_ENTRIES:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
 
 
 def _scan_encode_fn(model):
@@ -119,7 +112,8 @@ def _scan_encode_fn(model):
             return out
 
         fn = scan_encode
-        _SCAN_ENCODE_JIT_CACHE[id(model)] = fn
+        # the closure keeps the model alive, so id() stays valid while cached
+        _cache_put(_SCAN_ENCODE_JIT_CACHE, id(model), fn)
     return fn
 
 
@@ -129,6 +123,7 @@ def build_news_vector_table(
     store: NewsStore,
     batch_size: int = 4096,
     dtype=jnp.float32,
+    mesh=None,
 ) -> jnp.ndarray:
     """Encode the whole corpus once → (N+1, D) device table (row 0 zero).
 
@@ -141,21 +136,41 @@ def build_news_vector_table(
     device copy is cached per (store, batch_size); only the encode re-runs
     when params change."""
     n = store.title.shape[0]
-    key = (id(store), batch_size)
+    if mesh is not None:
+        # encode chunks shard over the data axis → chunk must divide it
+        mult = int(mesh.shape.get("data", 1))
+        batch_size = -(-batch_size // mult) * mult
+    key = (id(store), batch_size, None if mesh is None else id(mesh))
     hit = _CORPUS_FEATS_CACHE.get(key)
     if hit is None:
         n_chunks = max(1, -(-n // batch_size))
         rows = np.zeros(n_chunks * batch_size, dtype=np.int64)
         rows[:n] = np.arange(n)
         feats = lean_news(store.features_for(rows))
-        stacked = jax.device_put(jax.tree.map(
+        stacked = jax.tree.map(
             lambda x: x.reshape(n_chunks, batch_size, *x.shape[1:]), feats
-        ))
+        )
+        if mesh is not None:
+            # data-parallel encode: shard the chunk dim over the data axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P(None, "data"))
+            stacked = jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+        else:
+            stacked = jax.device_put(stacked)
         # the store reference pins id(store) while cached
-        _CORPUS_FEATS_CACHE[key] = hit = (store, stacked)
+        hit = (store, stacked)
+        _cache_put(_CORPUS_FEATS_CACHE, key, hit)
     out = _scan_encode_fn(model)(params, hit[1])  # (n_chunks, chunk, D)
     table = out.reshape(-1, out.shape[-1])[:n].astype(dtype)
-    return table.at[0].set(0.0)
+    table = table.at[0].set(0.0)
+    if mesh is not None:
+        # re-replicate (one all-gather): downstream scoring gathers arbitrary
+        # rows from every data shard
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        table = jax.device_put(table, NamedSharding(mesh, P()))
+    return table
 
 
 class GlobalEvalBatcher:
@@ -171,12 +186,13 @@ class GlobalEvalBatcher:
         min_cand_bucket: int = 8,
         max_cand_bucket: int = 512,
         lean: bool = False,
+        batch_multiple: int = 1,
     ):
         from newsreclib_tpu.data.batching import _BucketedAssembler
 
         self._assembler = _BucketedAssembler(
             impressions, max_history_len, target_cells, min_cand_bucket,
-            max_cand_bucket, lean=lean,
+            max_cand_bucket, lean=lean, batch_multiple=batch_multiple,
         )
 
     def __iter__(self) -> Iterator[RecBatch]:
@@ -187,9 +203,17 @@ class CachedScorer:
     """Epoch-level cached evaluation: build the vector table once, then
     stream global-row batches through a jitted gather+score+metrics step."""
 
-    def __init__(self, model, ranking: Optional[RankingMetrics] = None):
+    def __init__(
+        self,
+        model,
+        ranking: Optional[RankingMetrics] = None,
+        loss_fn: Optional[Callable] = None,
+        mesh=None,
+    ):
         self.model = model
         self.ranking = ranking or RankingMetrics()
+        self.loss_fn = loss_fn
+        self.mesh = mesh
         self._group_cache: Dict[tuple, tuple] = {}
 
         def step_body(params, batch: RecBatch, news_table, categ_table, sent_table):
@@ -223,22 +247,32 @@ class CachedScorer:
         # device-resident args — 32 batches made a 0.1s epoch take 1s.
         @partial(jax.jit, static_argnames=("collect_auc",))
         def scan_epoch(params, stacked, news_table, categ_table, sent_table,
-                       sums, count, collect_auc=False):
+                       sums, count, loss_acc, collect_auc=False):
             def body(carry, batch):
-                sums, count = carry
+                sums, count, loss_acc = carry
                 scores, per_imp, b = step_body(
                     params, batch, news_table, categ_table, sent_table
                 )
                 v = b.impression_valid.astype(jnp.float32)
                 new_sums = {k: sums[k] + jnp.sum(per_imp[k] * v) for k in sums}
+                if self.loss_fn is not None:
+                    # impression-weighted (batch-partitioning-invariant):
+                    # loss_fn returns a mean over valid impressions
+                    batch_loss = self.loss_fn(
+                        scores, b.labels, b.cand_mask, b.impression_valid
+                    )
+                    nv = jnp.sum(v)
+                    loss_acc = (loss_acc[0] + batch_loss * nv, loss_acc[1] + nv)
                 ys = None
                 if collect_auc:
                     w = (b.cand_mask & b.impression_valid[:, None]).astype(jnp.float32)
                     ys = (scores.ravel(), (b.labels * w).ravel(), w.ravel())
-                return (new_sums, count + jnp.sum(v)), ys
+                return (new_sums, count + jnp.sum(v), loss_acc), ys
 
-            (sums, count), ys = jax.lax.scan(body, (sums, count), stacked)
-            return sums, count, ys
+            (sums, count, loss_acc), ys = jax.lax.scan(
+                body, (sums, count, loss_acc), stacked
+            )
+            return sums, count, loss_acc, ys
 
         self._scan_epoch = scan_epoch
 
@@ -252,9 +286,17 @@ class CachedScorer:
         encode_batch: int = 4096,
         collect_auc: bool = True,
     ) -> Dict[str, float]:
-        table = build_news_vector_table(self.model, params, store, encode_batch)
+        table = build_news_vector_table(
+            self.model, params, store, encode_batch, mesh=self.mesh
+        )
         categ = None if store.category is None else jnp.asarray(store.category)
         sent = None if store.sentiment is None else jnp.asarray(store.sentiment)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            categ = None if categ is None else jax.device_put(categ, repl)
+            sent = None if sent is None else jax.device_put(sent, repl)
         return self._run(params, impressions, table, categ, sent,
                          max_history_len, target_cells, collect_auc)
 
@@ -265,36 +307,49 @@ class CachedScorer:
         # impression index arrays are static across parameter versions
         # (training-loop eval re-runs the same val/test set every epoch):
         # cache the stacked device-resident groups
-        ckey = (id(impressions), max_history_len, target_cells)
+        mult = 1 if self.mesh is None else int(self.mesh.shape.get("data", 1))
+        ckey = (id(impressions), max_history_len, target_cells, mult)
         hit = self._group_cache.get(ckey)
         if hit is None:
             groups: Dict[tuple, list] = {}
             batcher = GlobalEvalBatcher(
-                impressions, max_history_len, target_cells, lean=True
+                impressions, max_history_len, target_cells, lean=True,
+                batch_multiple=mult,
             )
             for b in batcher:
                 groups.setdefault((b.hist_idx.shape, b.cand_idx.shape), []).append(b)
+            if self.mesh is None:
+                place = jax.device_put
+            else:
+                # data-parallel scoring: shard the batch (axis 1 of the
+                # stacked (n_batches, B, ...) arrays) over the data axis
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(self.mesh, P(None, "data"))
+                place = lambda t: jax.tree.map(lambda x: jax.device_put(x, sh), t)
             stacked_groups = [
-                jax.device_put(jax.tree.map(lambda *xs: np.stack(xs), *groups[key]))
+                place(jax.tree.map(lambda *xs: np.stack(xs), *groups[key]))
                 for key in sorted(groups)
             ]
             # the impressions reference pins id(impressions) while cached
-            self._group_cache[ckey] = hit = (impressions, stacked_groups)
+            hit = (impressions, stacked_groups)
+            _cache_put(self._group_cache, ckey, hit)
 
         names = self.ranking.metric_names(categ is not None, sent is not None)
         sums = {n: jnp.zeros((), jnp.float32) for n in names}
         count = jnp.zeros((), jnp.float32)
+        loss_acc = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
         parts = []
         for stacked in hit[1]:
-            sums, count, ys = self._scan_epoch(
-                params, stacked, table, categ, sent, sums, count,
+            sums, count, loss_acc, ys = self._scan_epoch(
+                params, stacked, table, categ, sent, sums, count, loss_acc,
                 collect_auc=collect_auc,
             )
             if ys is not None:
                 parts.append(ys)
         # single host fetch: per-scalar float() costs one ~30ms RTT each on
         # the tunnel-attached TPU
-        fetch = [count] + [sums[k] for k in names]
+        fetch = [count] + [sums[k] for k in names] + list(loss_acc)
         if parts:
             fetch.append(F.binary_auc_weighted(
                 jnp.concatenate([p[0].ravel() for p in parts]),
@@ -304,6 +359,8 @@ class CachedScorer:
         vals = np.asarray(jnp.stack(fetch))
         n = max(float(vals[0]), 1.0)
         out = {k: float(vals[1 + i]) / n for i, k in enumerate(names)}
+        if self.loss_fn is not None and float(vals[2 + len(names)]) > 0:
+            out["loss"] = float(vals[1 + len(names)]) / float(vals[2 + len(names)])
         if parts:
             out["auc"] = float(vals[-1])
         return out

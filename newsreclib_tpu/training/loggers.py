@@ -27,6 +27,15 @@ class CSVLogger:
             if header:
                 self._fieldnames = header.split(",")
 
+    def log_hparams(self, hparams: Dict) -> None:
+        """Persist the composed hyperparameters next to the metrics (the
+        reference pushes cfg + param counts to every logger,
+        ``utils/logging_utils.py:10-54``)."""
+        import json
+
+        with open(os.path.join(os.path.dirname(self.path), "hparams.json"), "w") as f:
+            json.dump(hparams, f, indent=2, default=str)
+
     def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
         row = {"step": step, "time": round(time.time(), 3), **metrics}
         new_fields = [k for k in row if k not in self._fieldnames]
@@ -48,6 +57,9 @@ class CSVLogger:
 
 
 class StdoutLogger:
+    def log_hparams(self, hparams: Dict) -> None:
+        log.info("hparams: %s", {k: v for k, v in hparams.items() if k != "cfg"})
+
     def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
         parts = " ".join(
             f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
@@ -61,6 +73,11 @@ class TensorBoardLogger:
         from torch.utils.tensorboard import SummaryWriter  # torch cpu is available
 
         self._writer = SummaryWriter(log_dir=out_dir)
+
+    def log_hparams(self, hparams: Dict) -> None:
+        import json
+
+        self._writer.add_text("hparams", json.dumps(hparams, indent=2, default=str))
 
     def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
         for k, v in metrics.items():

@@ -61,15 +61,22 @@ def create_train_state(
     model,
     example_batch,
     rng: jax.Array,
-    optimizer: optax.GradientTransformation,
+    optimizer,
 ) -> TrainState:
+    """``optimizer``: a GradientTransformation, or a callable
+    ``params -> GradientTransformation`` for optimizers that need the
+    initialized param tree (e.g. ``freeze_labels`` from
+    ``plm_freeze_labels`` — reference ``text.py:70-73``)."""
     params_rng, dropout_rng = jax.random.split(rng)
     variables = model.init(
         {"params": params_rng, "dropout": dropout_rng}, example_batch, deterministic=True
     )
+    params = variables["params"]
+    if callable(optimizer) and not isinstance(optimizer, optax.GradientTransformation):
+        optimizer = optimizer(params)
     return TrainState.create(
         apply_fn=model.apply,
-        params=variables["params"],
+        params=params,
         tx=optimizer,
         dropout_rng=dropout_rng,
     )

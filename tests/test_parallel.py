@@ -33,3 +33,113 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+# ---- production-path parity: mesh vs single device ------------------------
+
+
+class _FixedBatcher:
+    def __init__(self, batches):
+        self._batches = batches
+        self.batch_size = batches[0].labels.shape[0]
+
+    def epoch(self, _i):
+        return iter(self._batches)
+
+
+def _synthetic_batches(n_batches=10, batch_size=8):
+    from newsreclib_tpu.data.synthetic import SyntheticConfig, make_batch
+
+    cfg = SyntheticConfig(vocab_size=300, title_len=12)
+    rng = np.random.default_rng(7)
+    return [
+        make_batch(rng, batch_size=batch_size, hist_len=6, num_candidates=5,
+                   unique_news=32, cfg=cfg)
+        for _ in range(n_batches)
+    ], cfg
+
+
+def _nrms_state(cfg, batch):
+    from newsreclib_tpu.models.general_rec import NRMS
+    from newsreclib_tpu.training.state import create_train_state, make_optimizer
+
+    model = NRMS(vocab_size=cfg.vocab_size, embed_dim=48, num_heads=4, query_dim=24)
+    state = create_train_state(model, batch, jax.random.key(3), make_optimizer(1e-3))
+    return model, state
+
+
+def test_mesh_trainer_matches_single_device():
+    """The sharded production train path must compute the SAME optimization
+    trajectory as single-device: same batches → same per-step losses and
+    final params (VERDICT r1 item 2 'done' criterion)."""
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+    batches, cfg = _synthetic_batches(n_batches=10, batch_size=8)
+    tc = TrainerConfig(max_epochs=1, log_every_n_steps=1000, ckpt_dir=None)
+
+    model, state1 = _nrms_state(cfg, batches[0])
+    t_single = Trainer(state1, cross_entropy_loss, tc)
+    out_single = t_single.train_epoch(_FixedBatcher(batches), 0)
+
+    _, state8 = _nrms_state(cfg, batches[0])  # same init key → same params
+    mesh = make_mesh(jax.devices(), model_axis=1)  # pure 8-way DP
+    t_mesh = Trainer(state8, cross_entropy_loss, tc, mesh=mesh, model=model)
+    out_mesh = t_mesh.train_epoch(_FixedBatcher(batches), 0)
+
+    assert abs(out_single["train/loss"] - out_mesh["train/loss"]) < 1e-5
+    for a, b in zip(jax.tree.leaves(t_single.state.params),
+                    jax.tree.leaves(t_mesh.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_mesh_trainer_row_sharded_embeddings():
+    """data×model mesh: embedding rows sharded over the model axis must not
+    change the trajectory either."""
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+    batches, cfg = _synthetic_batches(n_batches=4, batch_size=8)
+    tc = TrainerConfig(max_epochs=1, log_every_n_steps=1000, ckpt_dir=None)
+
+    model, state1 = _nrms_state(cfg, batches[0])
+    t_single = Trainer(state1, cross_entropy_loss, tc)
+    out_single = t_single.train_epoch(_FixedBatcher(batches), 0)
+
+    _, state_m = _nrms_state(cfg, batches[0])
+    mesh = make_mesh(jax.devices(), model_axis=2)  # 4×2 data×model
+    t_mesh = Trainer(state_m, cross_entropy_loss, tc, mesh=mesh, model=model)
+    out_mesh = t_mesh.train_epoch(_FixedBatcher(batches), 0)
+    assert abs(out_single["train/loss"] - out_mesh["train/loss"]) < 1e-5
+
+
+def test_mesh_cached_eval_matches_unmeshed(tmp_path_factory):
+    """CachedScorer on a data-sharded mesh must reproduce the single-device
+    cached metrics (incl. pooled AUC and loss)."""
+    from newsreclib_tpu.data.mind import MINDConfig, MINDData
+    from newsreclib_tpu.data.testing import write_mind_fixture
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.serving import CachedScorer
+    from newsreclib_tpu.data.batching import TrainBatcher
+    from newsreclib_tpu.training.state import create_train_state, make_optimizer
+    from newsreclib_tpu.models.general_rec import NRMS
+
+    data_dir = str(tmp_path_factory.mktemp("meshserve"))
+    write_mind_fixture(data_dir, num_news=100, num_train_behaviors=60,
+                       num_dev_behaviors=40)
+    mind = MINDData(MINDConfig(data_dir=data_dir, dataset_size="demo",
+                               sentiment_annotator="lexicon"))
+    store, imp = mind.news_store("test"), mind.impressions("test")
+    model = NRMS(vocab_size=mind.vocab_size(), embed_dim=48, num_heads=4, query_dim=24)
+    example = next(iter(TrainBatcher(store, mind.impressions("train"), batch_size=4,
+                                     max_history_len=8, u_bucket_min=64).epoch(0)))
+    state = create_train_state(model, example, jax.random.key(0), make_optimizer())
+
+    plain = CachedScorer(model, loss_fn=cross_entropy_loss).evaluate(
+        state.params, store, imp, max_history_len=8, target_cells=64)
+    mesh = make_mesh(jax.devices(), model_axis=1)
+    meshed = CachedScorer(model, loss_fn=cross_entropy_loss, mesh=mesh).evaluate(
+        state.params, store, imp, max_history_len=8, target_cells=64)
+    assert set(plain) == set(meshed)
+    for k in plain:
+        assert abs(plain[k] - meshed[k]) < 1e-5, k

@@ -5,13 +5,22 @@ import jax
 import numpy as np
 import pytest
 
-from tests.test_model_zoo import MODELS, _batch
+from newsreclib_tpu.models import fair_rec
+from tests.test_model_zoo import MODELS, VOCAB, _batch
 
+# sentirec's news tower is user-independent → cacheable (its aux sentiment
+# losses exist only on the fused training path)
+MODELS = dict(
+    MODELS,
+    sentirec=lambda: fair_rec.SentiRec(
+        vocab_size=VOCAB, embed_dim=60, num_heads=6, query_dim=32
+    ),
+)
 
 CACHEABLE = [
     "nrms", "naml", "lstur", "lstur_con", "tanr", "caum", "mins",
     "cen_news_rec", "dkn", "miner", "miner_mean", "nrms_late", "caum_late",
-    "dkn_late",
+    "dkn_late", "sentirec",
 ]
 
 

@@ -130,6 +130,76 @@ def _maybe_force_platform(cfg: dict) -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def setup_parallelism(cfg: dict):
+    """Build the device mesh for the production training path.
+
+    Reference analog: ``configs/trainer/ddp.yaml:1-9`` (Lightning DDP over N
+    GPUs).  Here: ``trainer.devices`` ("all" | int, default "all") selects
+    the chips; batches are sharded over the mesh's ``data`` axis and XLA
+    inserts the gradient all-reduce over ICI.  ``trainer.model_axis`` > 1
+    additionally row-shards embedding tables.  Multi-host (N processes) is
+    entered via ``jax.distributed.initialize`` when a coordinator is
+    configured, and each process loads only its impression shard
+    (``parallel/data.py::shard_impressions``).
+
+    Returns (mesh | None, process_index, process_count).
+    """
+    tc = cfg.get("trainer", {})
+    if tc.get("distributed") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    devices = jax.devices()
+    want = tc.get("devices", "all")
+    n = len(devices) if want in ("all", None, -1) else int(want)
+    n = min(n, len(devices))
+    model_axis = int(tc.get("model_axis", 1))
+    if n <= 1 and model_axis <= 1:
+        return None, jax.process_index(), jax.process_count()
+    from newsreclib_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(devices[:n], model_axis=model_axis)
+    log.info("mesh: %s over %d devices (%d processes)",
+             dict(mesh.shape), n, jax.process_count())
+    return mesh, jax.process_index(), jax.process_count()
+
+
+def build_optimizer(cfg: dict, steps_per_epoch: int = 0):
+    """Optimizer from the ``model.optimizer`` config node: lr / weight decay /
+    scheduler (cosine | linear_warmup) / gradient clipping, plus PLM layer
+    freezing (reference freezes PLM layers by default, ``text.py:70-73``,
+    and wires schedulers per model, ``abstract_recommender.py:89-108``).
+
+    Returns a callable ``params -> GradientTransformation`` so freeze labels
+    can be derived from the initialized param tree.
+    """
+    mc = cfg["model"]
+    opt_cfg = mc.get("optimizer", {})
+    total_steps = opt_cfg.get("total_steps") or (
+        steps_per_epoch * cfg["trainer"].get("max_epochs", 20)
+    )
+    frozen_layers = mc.get("frozen_layers")
+    freeze_embeddings = bool(mc.get("freeze_plm_embeddings", frozen_layers is not None))
+
+    def factory(params):
+        freeze_labels = None
+        if frozen_layers is not None and mc.get("use_plm"):
+            from newsreclib_tpu.models.components.plm import plm_freeze_labels
+
+            freeze_labels = plm_freeze_labels(
+                params, frozen_layers, freeze_embeddings=freeze_embeddings
+            )
+        return make_optimizer(
+            opt_cfg.get("lr", 1e-4),
+            opt_cfg.get("weight_decay", 0.0),
+            scheduler=opt_cfg.get("scheduler"),
+            warmup_steps=opt_cfg.get("warmup_steps", 0),
+            total_steps=total_steps,
+            grad_clip_norm=opt_cfg.get("grad_clip_norm"),
+            freeze_labels=freeze_labels,
+        )
+
+    return factory
+
+
 def print_config_tree(cfg: dict, out_dir: str) -> None:
     """Pretty-print + persist the composed config (reference
     ``utils/rich_utils.py:18-76`` analog)."""
@@ -149,6 +219,14 @@ def run(cfg: dict) -> dict:
     print_config_tree(cfg, out_dir)
     log.info("devices: %s", jax.devices())
 
+    mesh, proc_idx, proc_count = setup_parallelism(cfg)
+    if proc_idx != 0:
+        # rank-zero gating (reference utils/pylogger.py:15-19): non-zero
+        # ranks train silently; metrics/ckpts come from process 0
+        loggers_names = []
+    else:
+        loggers_names = cfg.get("loggers", ["stdout", "csv"])
+
     mind = setup_data(cfg)
     # force ETL early (reference train.py:56-58 forces prepare_data)
     store_train = mind.news_store("train")
@@ -162,26 +240,41 @@ def run(cfg: dict) -> dict:
     model = None if adversarial else build_model(cfg["model"], info)
     loss_fn = build_loss(cfg["model"])
     dc = cfg["data"]
+    train_imp = mind.impressions("train")
+    if proc_count > 1:
+        from newsreclib_tpu.parallel.data import shard_impressions
+
+        train_imp = shard_impressions(train_imp, proc_idx, proc_count)
+        log.info("process %d/%d: %d train impressions", proc_idx, proc_count,
+                 len(train_imp))
+    if mesh is not None:
+        data_par = mesh.shape.get("data", 1)
+        assert dc["batch_size"] % data_par == 0, (
+            f"batch_size {dc['batch_size']} not divisible by data axis {data_par}"
+        )
     train_batcher = TrainBatcher(
         store_train,
-        mind.impressions("train"),
+        train_imp,
         batch_size=dc["batch_size"],
         max_history_len=dc["max_history_len"],
         neg_sampling_ratio=dc["neg_sampling_ratio"],
         seed=cfg.get("seed", 0),
         u_bucket_min=dc.get("u_bucket_min", 512),
     )
+    eval_mult = 1 if mesh is None else int(mesh.shape.get("data", 1))
     val_batcher = EvalBatcher(
         store_train, mind.impressions("val"),
         max_history_len=dc["max_history_len"],
         target_cells=dc.get("eval_target_cells", 8192),
         u_bucket_min=dc.get("u_bucket_min", 512),
+        batch_multiple=eval_mult,
     )
     test_batcher = EvalBatcher(
         mind.news_store("test"), mind.impressions("test"),
         max_history_len=dc["max_history_len"],
         target_cells=dc.get("eval_target_cells", 8192),
         u_bucket_min=dc.get("u_bucket_min", 512),
+        batch_multiple=eval_mult,
     )
 
     ranking = RankingMetrics(
@@ -189,7 +282,7 @@ def run(cfg: dict) -> dict:
         num_categ_classes=info.num_categories,
         num_sent_classes=info.num_sent_classes,
     )
-    loggers = make_loggers(out_dir, cfg.get("loggers", ["stdout", "csv"]))
+    loggers = make_loggers(out_dir, loggers_names)
     tc = cfg["trainer"]
     trainer_cfg = TrainerConfig(
         max_epochs=tc["max_epochs"],
@@ -203,6 +296,7 @@ def run(cfg: dict) -> dict:
         ckpt_dir=cfg.get("ckpt_path") or os.path.join(out_dir, "checkpoints"),
         limit_train_batches=tc.get("limit_train_batches"),
         limit_eval_batches=tc.get("limit_eval_batches"),
+        cached_eval=tc.get("cached_eval", True),
     )
 
     if adversarial:
@@ -244,14 +338,17 @@ def run(cfg: dict) -> dict:
         return metrics
 
     example = next(iter(train_batcher.epoch(0)))
-    opt_cfg = cfg["model"].get("optimizer", {})
     state = create_train_state(
         model,
         example,
         jax.random.key(cfg.get("seed", 0)),
-        make_optimizer(opt_cfg.get("lr", 1e-4), opt_cfg.get("weight_decay", 0.0)),
+        build_optimizer(cfg, steps_per_epoch=len(train_batcher)),
     )
-    log.info("params: %d", param_count(state.params))
+    n_params = param_count(state.params)
+    log.info("params: %d", n_params)
+    for lg in loggers:
+        if hasattr(lg, "log_hparams"):
+            lg.log_hparams({"param_count": n_params, "cfg": cfg})
 
     if cfg["model"].get("use_plm"):
         from newsreclib_tpu.models.factory import splice_plm_params, take_pending_plm_params
@@ -261,7 +358,8 @@ def run(cfg: dict) -> dict:
             n = splice_plm_params(state.params, ported)
             log.info("spliced ported PLM weights into %d encoder towers", n)
 
-    trainer = Trainer(state, loss_fn, trainer_cfg, ranking=ranking, loggers=loggers)
+    trainer = Trainer(state, loss_fn, trainer_cfg, ranking=ranking, loggers=loggers,
+                      mesh=mesh, model=model)
 
     metrics = trainer.fit(train_batcher, val_batcher,
                           resume=bool(cfg.get("ckpt_path")))
