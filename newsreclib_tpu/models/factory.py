@@ -312,6 +312,32 @@ def build_model(cfg: Dict, info: DataInfo):
     raise ValueError(f"unknown model: {name}")
 
 
+def build_manner_a(cfg: Dict, info: DataInfo):
+    """MANNeR A-module (aspect-specialized embedding space; reference
+    ``fair_rec/manner_a_module.py`` + ``configs/model/manner_a_module.yaml``).
+    Trained by ``training/aspect.py::run_aspect_training`` (SupCon on
+    m-per-class news batches), not the slate path."""
+    global _pending_plm_params
+    from newsreclib_tpu.models import fair_rec
+
+    plm_tower = None
+    if cfg.get("use_plm"):
+        plm_tower, _pending_plm_params, _ = _build_plm_tower(cfg)
+    return fair_rec.MANNeRA(
+        text_encoder_module=plm_tower,
+        vocab_size=info.vocab_size,
+        entity_vocab_size=info.entity_vocab_size,
+        use_entities=cfg.get("use_entities", True),
+        text_embed_dim=cfg.get("text_embed_dim", 300),
+        entity_embed_dim=cfg.get("entity_embed_dim", 100),
+        num_heads=cfg.get("num_heads", 15),
+        query_dim=cfg.get("query_dim", 200),
+        dropout=cfg.get("dropout_probability", 0.2),
+        pretrained_embeddings=info.pretrained_embeddings,
+        pretrained_entity_embeddings=info.pretrained_entity_embeddings,
+    )
+
+
 def build_senti_debias(cfg: Dict, info: DataInfo):
     """SentiDebias generator+discriminator pair (adversarial training path,
     see training/adversarial.py)."""

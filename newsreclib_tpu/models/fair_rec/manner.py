@@ -202,8 +202,12 @@ def supcon_embedding_loss(
     eye = jnp.eye(n, dtype=bool)
     vpair = valid[:, None] & valid[None, :] & ~eye
     pos = same & vpair
-    m = jax.lax.stop_gradient(jnp.max(jnp.where(vpair, sim, -1e30), axis=1, keepdims=True))
-    denom = jnp.log(jnp.sum(jnp.where(vpair, jnp.exp(sim - m), 0.0), axis=1)) + m[:, 0]
+    # mask BEFORE exp: the unmasked diagonal self-similarity ||e||²/τ grows
+    # past exp range within a few steps, and grad(where(mask, exp(x), 0))
+    # multiplies 0 × inf → NaN if exp sees the raw value
+    sim_masked = jnp.where(vpair, sim, -1e30)
+    m = jax.lax.stop_gradient(jnp.max(sim_masked, axis=1, keepdims=True))
+    denom = jnp.log(jnp.sum(jnp.exp(sim_masked - m), axis=1)) + m[:, 0]
     log_prob = sim - denom[:, None]
     n_pos = jnp.sum(pos, axis=1).astype(jnp.float32)
     mean_log_prob_pos = jnp.sum(jnp.where(pos, log_prob, 0.0), axis=1) / jnp.maximum(n_pos, 1.0)
@@ -243,3 +247,54 @@ def aspect_module_scores(a_apply, a_params, batch: RecBatch) -> jnp.ndarray:
     cand = gather_news(news_vecs, batch.cand_idx)
     user = late_fusion_user(hist, batch.hist_mask)
     return dot_product_scores(user, cand)
+
+
+def evaluate_ensemble(
+    cr_model,
+    cr_params,
+    aspect_modules: Dict[str, tuple],  # name -> (model, params, weight)
+    batcher,
+    ranking,
+    collect_auc: bool = True,
+) -> Dict[str, float]:
+    """Test-only MANNeR ensemble over an EvalBatcher (reference
+    ``manner_module.py:83-96`` ckpt composition + ``:174-204`` fusion):
+    per-module late-fusion scores, per-impression z-score, weighted sum,
+    then the standard metric suite.  One jitted step; streaming metrics."""
+    from newsreclib_tpu.metrics.collector import StreamingEval
+    from newsreclib_tpu.models.base import mask_scores
+
+    names = sorted(aspect_modules)
+    applies = {n: aspect_modules[n][0].apply for n in names}
+    weights = {n: float(aspect_modules[n][2]) for n in names}
+
+    @jax.jit
+    def step(cr_p, a_ps, batch: RecBatch):
+        cr_scores, _ = cr_model.apply({"params": cr_p}, batch, deterministic=True)
+        aspect_scores = {
+            n: aspect_module_scores(applies[n], a_ps[n], batch) for n in names
+        }
+        fused = manner_ensemble_scores(
+            cr_scores, aspect_scores, weights, batch.cand_mask
+        )
+        fused = mask_scores(fused, batch.cand_mask)
+        kwargs = {}
+        if batch.news.category is not None:
+            kwargs["cand_categories"] = jnp.take(batch.news.category, batch.cand_idx, axis=0)
+            kwargs["hist_categories"] = jnp.take(batch.news.category, batch.hist_idx, axis=0)
+        if batch.news.sentiment is not None:
+            kwargs["cand_sentiments"] = jnp.take(batch.news.sentiment, batch.cand_idx, axis=0)
+            kwargs["hist_sentiments"] = jnp.take(batch.news.sentiment, batch.hist_idx, axis=0)
+        if kwargs:
+            kwargs["hist_mask"] = batch.hist_mask
+        per_imp = ranking.per_impression(fused, batch.labels, batch.cand_mask, **kwargs)
+        return fused, per_imp
+
+    a_params = {n: aspect_modules[n][1] for n in names}
+    stream = StreamingEval(collect_auc=collect_auc)
+    for batch in batcher:
+        fused, per_imp = step(cr_params, a_params, batch)
+        stream.update(fused, per_imp, batch.impression_valid,
+                      batch.labels if collect_auc else None,
+                      batch.cand_mask if collect_auc else None)
+    return stream.finalize()

@@ -67,6 +67,119 @@ def train_aspect_module(
     return state
 
 
+def make_aspect_eval_loss(temperature: float = 0.1):
+    """Jitted deterministic SupCon loss for validation news batches."""
+
+    def step(state: TrainState, batch: NewsBatch):
+        emb = state.apply_fn({"params": state.params}, batch.news, deterministic=True)
+        return supcon_embedding_loss(
+            emb, jnp.asarray(batch.labels), jnp.asarray(batch.valid), temperature
+        )
+
+    return jax.jit(step)
+
+
+def run_aspect_training(cfg: Dict, mind, info, loggers, out_dir: str) -> Dict[str, float]:
+    """Full A-module CLI flow (reference ``manner_a_module.py`` +
+    ``configs/model/manner_a_module.yaml``): SupCon over m-per-class news
+    batches on the chosen aspect, val-loss early stopping, best/last
+    checkpoints, t-SNE embedding plot at the end.
+
+    Entered from ``train.py`` when ``model.name == manner_a``.
+    """
+    import optax
+
+    from newsreclib_tpu.models.factory import build_manner_a
+    from newsreclib_tpu.training.checkpoint import Checkpointer
+
+    mc, dc, tc = cfg["model"], cfg["data"], cfg["trainer"]
+    aspect = mc.get("aspect", "category")
+    temperature = mc.get("temperature") or 0.1
+    store_train = mind.news_store("train")
+    store_val = mind.news_store("test")  # dev/test articles for val loss
+    batch_size = mc.get("news_batch_size", dc.get("batch_size", 64))
+    m = mc.get("m_per_class", 8)
+    train_batcher = MPerClassNewsBatcher(
+        store_train, aspect, batch_size=batch_size, m_per_class=m,
+        seed=cfg.get("seed", 0),
+    )
+    val_batcher = MPerClassNewsBatcher(
+        store_val, aspect, batch_size=batch_size, m_per_class=m,
+        seed=cfg.get("seed", 0) + 1,
+    )
+
+    model = build_manner_a(mc, info)
+    example = next(iter(train_batcher.epoch(0)))
+    rng = jax.random.key(cfg.get("seed", 0))
+    params_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": params_rng, "dropout": dropout_rng}, example.news,
+        deterministic=True,
+    )
+    opt_cfg = mc.get("optimizer", {})
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=optax.adam(opt_cfg.get("lr", 1e-4)), dropout_rng=dropout_rng,
+    )
+    if mc.get("use_plm"):
+        from newsreclib_tpu.models.factory import (
+            splice_plm_params,
+            take_pending_plm_params,
+        )
+
+        ported = take_pending_plm_params()
+        if ported is not None:
+            splice_plm_params(state.params, ported)
+
+    ckpt = Checkpointer(os.path.join(out_dir, "checkpoints"))
+    train_step = make_aspect_train_step(temperature)
+    val_step = make_aspect_eval_loss(temperature)
+    limit = tc.get("limit_train_batches")
+    limit_val = tc.get("limit_eval_batches")
+    best, bad, gstep = None, 0, 0
+    history: Dict[str, float] = {}
+    for epoch in range(tc.get("max_epochs", 20)):
+        losses = []
+        for i, nb in enumerate(train_batcher.epoch(epoch)):
+            if limit and i >= limit:
+                break
+            state, metrics = train_step(state, nb)
+            losses.append(metrics["loss"])
+            gstep += 1
+        val_losses = []
+        for i, nb in enumerate(val_batcher.epoch(epoch)):
+            if limit_val and i >= limit_val:
+                break
+            val_losses.append(val_step(state, nb))
+        train_loss = float(np.mean([np.asarray(l) for l in losses]))
+        val_loss = float(np.mean([np.asarray(l) for l in val_losses]))
+        history = {"train/loss": train_loss, "val/loss": val_loss}
+        for lg in loggers:
+            lg.log_metrics({**history, "epoch": epoch}, gstep)
+        ckpt.save(state, gstep, metric=val_loss, extra={"epoch": epoch})
+        if best is None or val_loss < best:
+            best, bad = val_loss, 0
+        else:
+            bad += 1
+            if bad >= tc.get("patience", 5):
+                log.info("aspect early stopping at epoch %d (best val/loss=%.5f)",
+                         epoch, best)
+                break
+    history["best_loss"] = best if best is not None else float("nan")
+
+    # t-SNE of the final embedding space (reference manner_a_module.py:229-289)
+    try:
+        nb = next(iter(val_batcher.epoch(0)))
+        emb = np.asarray(
+            model.apply({"params": state.params}, nb.news, deterministic=True)
+        )
+        tsne_plot(emb[nb.valid], np.asarray(nb.labels)[nb.valid],
+                  os.path.join(out_dir, f"tsne_{aspect}.png"))
+    except Exception as e:  # noqa: BLE001 — visualization must not fail a run
+        log.warning("t-SNE plot skipped: %s", e)
+    return history
+
+
 def tsne_plot(
     embeddings: np.ndarray,
     labels: np.ndarray,

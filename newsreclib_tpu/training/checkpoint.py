@@ -73,6 +73,22 @@ class Checkpointer:
             step=restored["step"],
         )
 
+    def restore_params(self, which: str = "best"):
+        """Template-free params restore (raw pytree, host numpy arrays).
+
+        Used by eval/ensemble composition (reference
+        ``manner_module.py:83-96`` loads submodules from ckpts without the
+        training-time optimizer): the optimizer used at training time may
+        have a different opt_state structure than the eval-side default, so
+        restoring through a TrainState template would fail.
+        """
+        tree = self._ckptr.restore(self._path(which))
+        # host numpy leaves: uncommitted, so downstream jits are free to
+        # place them (orbax may otherwise restore onto every local device)
+        import numpy as np
+
+        return jax.tree.map(np.asarray, tree["params"])
+
     def has(self, which: str = "best") -> bool:
         return os.path.exists(self._path(which))
 

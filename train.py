@@ -236,6 +236,17 @@ def run(cfg: dict) -> dict:
         info.vocab_size, info.num_users, info.num_categories, store_train.num_news,
     )
 
+    if cfg["model"]["name"] == "manner_a":
+        # A-module: SupCon on aspect-labeled news batches, not slates
+        # (reference configs/model/manner_a_module.yaml)
+        from newsreclib_tpu.training.aspect import run_aspect_training
+
+        metrics = run_aspect_training(
+            cfg, mind, info, make_loggers(out_dir, loggers_names), out_dir
+        )
+        log.info("final metrics: %s", {k: round(v, 4) for k, v in metrics.items()})
+        return metrics
+
     adversarial = bool(cfg["model"].get("adversarial"))
     model = None if adversarial else build_model(cfg["model"], info)
     loss_fn = build_loss(cfg["model"])
