@@ -116,6 +116,62 @@ def test_layer_freezing(tiny_bert_dir):
     )
 
 
+def test_frozen_layers_config_wiring(tiny_bert_dir):
+    """End-to-end config wiring (VERDICT r1 item 6): ``model.frozen_layers``
+    flows through train.py::build_optimizer → plm_freeze_labels →
+    make_optimizer, and frozen-layer params are BIT-IDENTICAL after a real
+    train step while unfrozen layers move."""
+    import train as train_mod
+    from newsreclib_tpu.data.synthetic import SyntheticConfig, make_batch
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.models.factory import (
+        DataInfo,
+        build_model,
+        splice_plm_params,
+        take_pending_plm_params,
+    )
+    from newsreclib_tpu.training.state import create_train_state
+    from newsreclib_tpu.training.steps import make_train_step
+
+    cfg = {
+        "model": {
+            "name": "nrms", "use_plm": True, "plm_model": tiny_bert_dir,
+            "plm_use_mhsa": True, "frozen_layers": [0, 1],
+            "embed_dim": 32, "num_heads": 4, "query_dim": 16,
+            "optimizer": {"lr": 1e-2},
+        },
+        "trainer": {"max_epochs": 1},
+    }
+    model = build_model(cfg["model"], DataInfo(vocab_size=120))
+    scfg = SyntheticConfig(vocab_size=120, title_len=12)
+    batch = make_batch(np.random.default_rng(5), batch_size=4, hist_len=5,
+                       num_candidates=5, unique_news=16, cfg=scfg,
+                       with_abstract=False, with_entities=False)
+    state = create_train_state(model, batch, jax.random.key(0),
+                               train_mod.build_optimizer(cfg, steps_per_epoch=10))
+    ported = take_pending_plm_params()
+    assert ported is not None
+    splice_plm_params(state.params, ported)
+
+    def enc_tree(p):
+        node = p
+        while "encoder" not in node:
+            node = node[next(iter(node))]
+        return node["encoder"]
+
+    before = jax.tree.map(np.array, enc_tree(state.params))
+    step = make_train_step(cross_entropy_loss, donate=False)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    after = enc_tree(state.params)
+    np.testing.assert_array_equal(  # frozen: bit-identical
+        before["layer_0"]["q"]["kernel"], np.asarray(after["layer_0"]["q"]["kernel"]))
+    np.testing.assert_array_equal(
+        before["layer_1"]["ff1"]["kernel"], np.asarray(after["layer_1"]["ff1"]["kernel"]))
+    assert not np.array_equal(  # trainable: moved
+        before["layer_2"]["q"]["kernel"], np.asarray(after["layer_2"]["q"]["kernel"]))
+
+
 def test_nrms_with_plm_tower(tiny_bert_dir):
     from newsreclib_tpu.data.synthetic import SyntheticConfig, make_batch
     from newsreclib_tpu.models.components.losses import cross_entropy_loss
