@@ -18,8 +18,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` divides by PYTORCH_GPU_BASELINE_IPS — an *estimate* of the
 reference's per-GPU NRMS full-impression scoring throughput (the reference
 publishes no numbers; BASELINE.md).  Estimate: V100-class GPU, per-occurrence
-news re-encoding, ~2k impressions/s.  Revisit when a measured baseline
-exists.
+news re-encoding, ~2k impressions/s.  A MEASURED anchor exists:
+``benchmarks/torch_reference_baseline.py`` runs the reference torch modules
+(imported from /root/reference) in the reference's eval-loop structure on
+CPU and writes BASELINE_MEASURED.json; its numbers are attached to the
+output JSON as ``torch_cpu_measured_ips`` (17.7 imp/s on the sandbox's
+2 CPU threads — the 2k GPU estimate assumes ~100x one CPU socket, which the
+measurement makes plausible but cannot confirm without a GPU).
 
 Timing note: on the axon-tunneled TPU, completion must be forced by fetching
 result bytes (see newsreclib_tpu/utils/timing.py); epoch times below fetch
@@ -187,16 +192,28 @@ def main() -> None:
     )
     log(f"train step: {tdt*1e3:.2f} ms ({256/tdt:.0f} impressions/s/chip)")
 
-    print(
-        json.dumps(
-            {
-                "metric": "impressions_scored_per_sec_per_chip",
-                "value": round(cached_ips, 1),
-                "unit": "impressions/s",
-                "vs_baseline": round(cached_ips / PYTORCH_GPU_BASELINE_IPS, 2),
-            }
+    out = {
+        "metric": "impressions_scored_per_sec_per_chip",
+        "value": round(cached_ips, 1),
+        "unit": "impressions/s",
+        "vs_baseline": round(cached_ips / PYTORCH_GPU_BASELINE_IPS, 2),
+        "vs_baseline_basis": "estimated 2000 imp/s PyTorch GPU (see docstring)",
+        "uncached_eval_ips": round(256 / dt, 1),
+        "train_ips": round(256 / tdt, 1),
+    }
+    try:
+        import os
+
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_MEASURED.json")) as f:
+            measured = json.load(f)
+        out["torch_cpu_measured_ips"] = measured["torch_cpu_measured_ips"]
+        out["vs_torch_cpu_measured"] = round(
+            cached_ips / measured["torch_cpu_measured_ips"], 1
         )
-    )
+    except Exception:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

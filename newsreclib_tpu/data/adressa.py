@@ -71,6 +71,11 @@ class AdressaConfig:
     sentiment_annotator_kwargs: dict = field(default_factory=dict)
     download: bool = False
     seed: int = 42
+    # PLM mode (reference use_plm + tokenizer_name NbAiLab/nb-bert-base for
+    # Norwegian, configs/experiment/nrms_adressaoneweek_plm_celoss_bertsent.yaml)
+    use_plm: bool = False
+    plm_tokenizer: Optional[str] = None
+    tokenizer_max_len: int = 96
 
 
 class _UserTimeline:
@@ -264,10 +269,23 @@ class AdressaData:
         self._maps = maps
         return maps
 
+    def _plm_tokenize(self, texts, max_len: int):
+        """Batch-tokenize with the configured HF tokenizer (PLM mode)."""
+        from transformers import AutoTokenizer
+
+        if not hasattr(self, "_hf_tok"):
+            self._hf_tok = AutoTokenizer.from_pretrained(self.cfg.plm_tokenizer)
+        enc = self._hf_tok(
+            [t if isinstance(t, str) else "" for t in texts],
+            truncation=True, max_length=max_len, padding=False,
+        )
+        return enc["input_ids"]
+
     def news_store(self, split: str = "train") -> NewsStore:
         if self._store is not None:
             return self._store
-        cache = os.path.join(self.root, "news_store.npz")
+        suffix = "_plm" if self.cfg.use_plm else ""
+        cache = os.path.join(self.root, f"news_store{suffix}.npz")
         if os.path.exists(cache):
             self._store = NewsStore.load(cache)
             return self._store
@@ -285,12 +303,19 @@ class AdressaData:
                     self.cfg.categ_embed_dim, seed=self.cfg.seed,
                     out_fpath=os.path.join(self.root, "transformed_categ_embeddings.npy"),
                 )
+        if self.cfg.use_plm:
+            assert self.cfg.plm_tokenizer, "use_plm requires plm_tokenizer"
+            titles = self._plm_tokenize(
+                news["title"].tolist(), self.cfg.tokenizer_max_len
+            )
+            max_title = self.cfg.tokenizer_max_len
+        else:
+            titles = [tokens_to_ids(t, maps["word2index"]) for t in self._tok_titles]
+            max_title = self.cfg.max_title_len
         store = build_news_store(
             nids=news["nid"].tolist(),
-            tokenized_titles=[
-                tokens_to_ids(t, maps["word2index"]) for t in self._tok_titles
-            ],
-            max_title_len=self.cfg.max_title_len,
+            tokenized_titles=titles,
+            max_title_len=max_title,
             categories=[maps["categ2index"].get(c, 0) for c in news["category"]],
             subcategories=[maps["subcateg2index"].get(c, 0) for c in news["subcategory"]],
             sentiments=[maps["sentiment2index"].get(c, 0) for c in news["sentiment_label"]],

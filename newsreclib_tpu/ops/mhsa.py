@@ -13,14 +13,19 @@ matmul**: with E[d, h] = 1 iff feature d belongs to head h,
 
 so each key position m costs one VPU elementwise multiply over (BU·L, D)
 plus one deep MXU matmul (BU·L, D) @ (D, H); the output pass uses the
-transpose ((w_m @ Eᵀ) ⊙ v_m, accumulated).  All intermediates stay in VMEM;
-the only HBM traffic is qkv in / context out.
+transpose ((p_m @ Eᵀ) ⊙ v_m, accumulated).  All intermediates stay in VMEM;
+the only HBM traffic is q/k/v in / context out.
+
+The key loop is a ``fori_loop`` with an **online softmax** (flash-attention
+style running max/denominator/accumulator): the round-1 version unrolled
+L=30 iterations twice, and the resulting Mosaic program was large enough
+that the remote-compile helper OOM-killed — the rolled loop compiles.
 
 Layout: qkv (U, L, 3D) from one fused input projection is split into
 separate q/k/v arrays OUTSIDE the kernel (a block whose last dim is a
 D-wide column window of the 3D-wide array cannot lower — Mosaic requires
 the last block dims to be 8/128-multiples or the full array dims); grid
-over article blocks of BU.  The L-loop (static, ~30 iterations) is unrolled.
+over article blocks of BU.
 """
 
 from __future__ import annotations
@@ -49,40 +54,51 @@ def head_indicator(d: int, num_heads: int, dtype=jnp.float32) -> jnp.ndarray:
 def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, e_ref, o_ref, *, num_heads, scale):
     bu, l, d = q_ref.shape
     h = num_heads
-    q2d = q_ref[:].reshape(bu * l, d)
-    e = e_ref[:]  # (D, H)
+    n = bu * l
+    q2d = q_ref[:].reshape(n, d).astype(jnp.float32)
+    e = e_ref[:].astype(jnp.float32)  # (D, H)
 
-    # pass 1: logits per key position m → (L_keys, BU*L, H)
-    logits = []
-    for m in range(l):
-        k_m = k_ref[:, m, :]  # (BU, D)
-        k_b = jnp.broadcast_to(k_m[:, None, :], (bu, l, d)).reshape(bu * l, d)
-        prod = q2d * k_b
+    def body(m, carry):
+        m_run, l_run, acc = carry
+        # ref-level dynamic slices (loaded-array dynamic_slice doesn't lower)
+        k_m = k_ref[:, pl.ds(m, 1), :].astype(jnp.float32)  # (BU, 1, D)
+        k_b = jnp.broadcast_to(k_m, (bu, l, d)).reshape(n, d)
         lg = jax.lax.dot_general(
-            prod, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (BU*L, H)
-        key_valid = mask_ref[:, m]  # (BU,)
-        kv = jnp.broadcast_to(key_valid[:, None, None], (bu, l, h)).reshape(bu * l, h)
-        lg = jnp.where(kv != 0, lg, _MASK_MIN)
-        logits.append(lg)
-    stacked = jnp.stack(logits, axis=0)  # (L, BU*L, H)
+            q2d * k_b, e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (N, H)
+        kv = mask_ref[:, pl.ds(m, 1)]  # (BU, 1)
+        kvb = jnp.broadcast_to(kv[:, :, None], (bu, l, h)).reshape(n, h)
+        lg = jnp.where(kvb != 0, lg, _MASK_MIN)
 
-    # softmax over the key axis
-    mx = jnp.max(stacked, axis=0, keepdims=True)
-    ex = jnp.exp(stacked - mx)
-    denom = jnp.sum(ex, axis=0, keepdims=True)
-    w = ex / jnp.maximum(denom, 1e-30)  # (L, BU*L, H)
+        m_new = jnp.maximum(m_run, lg)
+        alpha = jnp.exp(m_run - m_new)  # (N, H) correction for old state
+        p = jnp.exp(lg - m_new)  # (N, H)
+        l_new = l_run * alpha + p
+        # expand per-head scalars onto their feature slots (E is an
+        # indicator, so X @ E^T broadcasts head h's value over its features)
+        alpha_full = jax.lax.dot_general(
+            alpha, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (N, D)
+        p_full = jax.lax.dot_general(
+            p, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        v_m = v_ref[:, pl.ds(m, 1), :].astype(jnp.float32)
+        v_b = jnp.broadcast_to(v_m, (bu, l, d)).reshape(n, d)
+        acc_new = acc * alpha_full + p_full * v_b
+        return m_new, l_new, acc_new
 
-    # pass 2: context = sum_m w_m expanded to D ⊙ v_m
-    acc = jnp.zeros((bu * l, d), dtype=jnp.float32)
-    for m in range(l):
-        w_full = jax.lax.dot_general(
-            w[m], e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BU*L, D) — w_m @ E^T
-        v_m = v_ref[:, m, :]
-        v_b = jnp.broadcast_to(v_m[:, None, :], (bu, l, d)).reshape(bu * l, d)
-        acc = acc + w_full * v_b
-    o_ref[:] = acc.reshape(bu, l, d).astype(o_ref.dtype)
+    init = (
+        jnp.full((n, h), _MASK_MIN, jnp.float32),
+        jnp.zeros((n, h), jnp.float32),
+        jnp.zeros((n, d), jnp.float32),
+    )
+    _, l_run, acc = jax.lax.fori_loop(0, l, body, init)
+    denom = jax.lax.dot_general(
+        l_run, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (N, D)
+    out = acc / jnp.maximum(denom, 1e-30)
+    o_ref[:] = out.reshape(bu, l, d).astype(o_ref.dtype)
 
 
 def fused_small_mhsa(
@@ -101,7 +117,7 @@ def fused_small_mhsa(
         qkv = jnp.pad(qkv, ((0, pad_u), (0, 0), (0, 0)))
         mask = jnp.pad(mask, ((0, pad_u), (0, 0)))
     up = qkv.shape[0]
-    e = head_indicator(d, num_heads, qkv.dtype)
+    e = head_indicator(d, num_heads, jnp.float32)
     maskf = mask.astype(jnp.float32)
     scale = 1.0 / float(np.sqrt(d // num_heads))
 

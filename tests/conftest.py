@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# zero-egress sandbox: make HF from_pretrained fail fast instead of
+# spending minutes in connect/retry loops (PLM factories fall back to
+# random init with a warning)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 import jax
 

@@ -60,6 +60,9 @@ def setup_data(cfg: dict):
                 sentiment_annotator=dc.get("sentiment_annotator", "lexicon"),
                 download=dc.get("download", False),
                 seed=dc.get("seed", 42),
+                use_plm=dc.get("use_plm", False),
+                plm_tokenizer=dc.get("plm_tokenizer"),
+                tokenizer_max_len=dc.get("tokenizer_max_len", 96),
             )
         )
 
