@@ -44,8 +44,11 @@ TRAIN_BEHAVIORS = 152327
 DEV_BEHAVIORS = 72338
 N_USERS = 50000
 
-# click-model calibration (see module docstring)
-P_RANDOM_CLICK = 0.35  # exploration noise: positive chosen uniformly
+# click-model calibration (see module docstring).  With r = P_RANDOM_CLICK,
+# model AUC ≈ r·0.5 + (1−r)·AUC_signal; measured AUC_signal ≈ 0.91 for NRMS
+# at canonical hparams (r=0.35 run scored 0.767), so r=0.6 centers the
+# literature band (0.60–0.70).
+P_RANDOM_CLICK = 0.6  # exploration noise: positive chosen uniformly
 PREF_SHARPNESS = 3.0  # softmax sharpness over category preference
 
 

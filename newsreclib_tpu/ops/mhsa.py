@@ -69,7 +69,8 @@ def _aug_indicator(d: int, daug: int, num_heads: int) -> jnp.ndarray:
     return jnp.asarray(e)
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, e_ref, o_ref, *, num_heads, scale, seq_len):
+def _attention_kernel(q_ref, k_ref, v_ref, e_ref, o_ref, *, num_heads, scale,
+                      seq_len, precision):
     bu, l, daug = q_ref.shape
     h = num_heads
     n = bu * l
@@ -80,10 +81,12 @@ def _attention_kernel(q_ref, k_ref, v_ref, e_ref, o_ref, *, num_heads, scale, se
         m_run, l_run, acc = carry
         k_m = k_ref[pl.ds(m, 1), :, :].astype(jnp.float32)  # (1, BU, Daug)
         k_b = jnp.broadcast_to(k_m.reshape(bu, 1, daug), (bu, l, daug)).reshape(n, daug)
-        # logits + (routed) mask bias, one deep MXU matmul
+        # logits + (routed) mask bias, one deep MXU matmul.  `precision`
+        # controls MXU input truncation: default = bf16 passes (fast,
+        # ~2e-2 abs err vs f32), HIGHEST = 3-pass f32 emulation.
         lg = jax.lax.dot_general(
             q2d * k_b, e, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ) * scale  # (N, H)
 
         m_new = jnp.maximum(m_run, lg)
@@ -92,12 +95,16 @@ def _attention_kernel(q_ref, k_ref, v_ref, e_ref, o_ref, *, num_heads, scale, se
         l_new = l_run * alpha + p
         # expand per-head scalars onto their feature slots (E is an
         # indicator, so X @ Eᵀ broadcasts head h's value over its features;
-        # the bias row's column lands on padded features ⊙ v=0)
+        # the bias row's column lands on padded features ⊙ v=0).  Each
+        # output feature receives exactly ONE nonzero term, so the only
+        # precision cost is the bf16 rounding of p/alpha themselves.
         alpha_full = jax.lax.dot_general(
-            alpha, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            alpha, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
         )  # (N, Daug)
         p_full = jax.lax.dot_general(
-            p, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            p, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
         )
         v_m = v_ref[pl.ds(m, 1), :, :].astype(jnp.float32)
         v_b = jnp.broadcast_to(v_m.reshape(bu, 1, daug), (bu, l, daug)).reshape(n, daug)
@@ -123,6 +130,7 @@ def fused_small_mhsa(
     num_heads: int,
     block_u: int = 16,  # 32 exceeds the 16MB scoped-VMEM limit at D=300,L=30
     interpret: bool = False,
+    precision=None,  # None → MXU default (bf16 passes); Precision.HIGHEST → f32
 ) -> jnp.ndarray:
     """(U, L, 3D) qkv + mask → (U, L, D) attention context.
 
@@ -156,7 +164,8 @@ def fused_small_mhsa(
     kv_spec = pl.BlockSpec((l, block_u, daug), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _attention_kernel, num_heads=num_heads, scale=scale, seq_len=l
+            _attention_kernel, num_heads=num_heads, scale=scale, seq_len=l,
+            precision=precision,
         ),
         grid=grid,
         in_specs=[

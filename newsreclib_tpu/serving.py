@@ -209,11 +209,14 @@ class CachedScorer:
         ranking: Optional[RankingMetrics] = None,
         loss_fn: Optional[Callable] = None,
         mesh=None,
+        compute_dtype: Optional[str] = None,
     ):
         self.model = model
         self.ranking = ranking or RankingMetrics()
         self.loss_fn = loss_fn
         self.mesh = mesh
+        # bf16 serving: params + news-vector table in bf16, metrics f32
+        self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
         self._group_cache: Dict[tuple, tuple] = {}
 
         def step_body(params, batch: RecBatch, news_table, categ_table, sent_table):
@@ -222,7 +225,7 @@ class CachedScorer:
                 {"params": params}, batch, news_table, deterministic=True,
                 method="score_with_vectors",
             )
-            scores = mask_scores(scores, batch.cand_mask)
+            scores = mask_scores(scores.astype(jnp.float32), batch.cand_mask)
             kwargs = {}
             if categ_table is not None:
                 kwargs["cand_categories"] = jnp.take(categ_table, batch.cand_idx, axis=0)
@@ -286,8 +289,15 @@ class CachedScorer:
         encode_batch: int = 4096,
         collect_auc: bool = True,
     ) -> Dict[str, float]:
+        if self.compute_dtype is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(self.compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                params,
+            )
         table = build_news_vector_table(
-            self.model, params, store, encode_batch, mesh=self.mesh
+            self.model, params, store, encode_batch, mesh=self.mesh,
+            dtype=self.compute_dtype or jnp.float32,
         )
         categ = None if store.category is None else jnp.asarray(store.category)
         sent = None if store.sentiment is None else jnp.asarray(store.sentiment)

@@ -22,26 +22,44 @@ from newsreclib_tpu.metrics.collector import RankingMetrics
 from newsreclib_tpu.training.state import TrainState
 
 
-def make_train_step(loss_fn: Callable, donate: bool = True):
+def _cast_floats(tree, dtype):
+    """Cast float leaves (params) to the compute dtype; ints/bools untouched."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def make_train_step(loss_fn: Callable, donate: bool = True,
+                    compute_dtype: Optional[str] = None):
     """Build a jitted train step.
 
     ``loss_fn(scores, labels, cand_mask, valid) -> scalar``; model aux losses
     (already weighted) are added on top.
+
+    ``compute_dtype="bfloat16"``: mixed precision (reference
+    ``configs/trainer/default.yaml:12`` precision-16 analog, TPU-native) —
+    master params and optimizer state stay f32, the forward/backward runs
+    with bf16-cast params (the cast is differentiable, so gradients emerge
+    f32).  bf16 needs no loss scaling (same exponent range as f32).
     """
+    cdtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
     def train_step(state: TrainState, batch: RecBatch) -> Tuple[TrainState, Dict]:
         dropout_rng = jax.random.fold_in(state.dropout_rng, state.step)
 
         def loss_of(params):
+            p = _cast_floats(params, cdtype) if cdtype is not None else params
             scores, aux = state.apply_fn(
-                {"params": params},
+                {"params": p},
                 batch,
                 deterministic=False,
                 rngs={"dropout": dropout_rng},
             )
+            scores = scores.astype(jnp.float32)
             loss = loss_fn(scores, batch.labels, batch.cand_mask, batch.impression_valid)
             for v in aux.values():
-                loss = loss + v
+                loss = loss + v.astype(jnp.float32)
             return loss, (scores, aux)
 
         (loss, (_, aux)), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
@@ -56,12 +74,16 @@ def make_eval_step(
     loss_fn: Optional[Callable] = None,
     ranking: Optional[RankingMetrics] = None,
     with_aspects: bool = True,
+    compute_dtype: Optional[str] = None,
 ):
     """Build a jitted eval step → (scores, per-impression metrics, loss)."""
     ranking = ranking or RankingMetrics()
+    cdtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
     def eval_step(state: TrainState, batch: RecBatch):
-        scores, _ = state.apply_fn({"params": state.params}, batch, deterministic=True)
+        p = _cast_floats(state.params, cdtype) if cdtype is not None else state.params
+        scores, _ = state.apply_fn({"params": p}, batch, deterministic=True)
+        scores = scores.astype(jnp.float32)
         scores = mask_scores(scores, batch.cand_mask)
         valid = (
             batch.impression_valid

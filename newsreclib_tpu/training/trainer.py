@@ -53,6 +53,9 @@ class TrainerConfig:
     limit_eval_batches: Optional[int] = None
     cached_eval: bool = True  # serve fit-time eval from the news-vector cache
     row_shard_embeddings: bool = True  # over the mesh's model axis, if >1
+    # "bfloat16" → mixed precision: f32 master params/opt, bf16 compute
+    # (reference trainer precision-16 flag, configs/trainer/default.yaml:12)
+    compute_dtype: Optional[str] = None
     # per-step loss fetches stay this many steps behind the dispatch front so
     # NaN checking never blocks the device pipeline (each fetch is ~free once
     # the async copy has landed; a blocking fetch costs a ~30ms tunnel RTT)
@@ -81,8 +84,9 @@ class Trainer:
         self.state = state
         self.loggers = list(loggers)
         self.ranking = ranking or RankingMetrics()
-        self.train_step = make_train_step(loss_fn)
-        self.eval_step = make_eval_step(loss_fn=loss_fn, ranking=self.ranking)
+        self.train_step = make_train_step(loss_fn, compute_dtype=cfg.compute_dtype)
+        self.eval_step = make_eval_step(loss_fn=loss_fn, ranking=self.ranking,
+                                        compute_dtype=cfg.compute_dtype)
         self.collect_auc_inputs = collect_auc_inputs
         self.ckpt = Checkpointer(cfg.ckpt_dir, mode=cfg.mode) if cfg.ckpt_dir else None
         self.global_step = 0
@@ -99,7 +103,8 @@ class Trainer:
             from newsreclib_tpu.serving import CachedScorer
 
             self._cached_scorer = CachedScorer(
-                model, ranking=self.ranking, loss_fn=loss_fn, mesh=mesh
+                model, ranking=self.ranking, loss_fn=loss_fn, mesh=mesh,
+                compute_dtype=cfg.compute_dtype,
             )
 
     # ---------- loops ----------

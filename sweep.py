@@ -57,6 +57,75 @@ def sample_params(spec: Dict[str, Any], rng: np.random.Generator) -> Dict[str, A
     return out
 
 
+def tpe_sample(
+    spec: Dict[str, Any],
+    history: List[Dict[str, Any]],
+    mode: str,
+    rng: np.random.Generator,
+    n_startup: int = 5,
+    gamma: float = 0.25,
+    n_candidates: int = 24,
+) -> Dict[str, Any]:
+    """Tree-structured Parzen Estimator step (Optuna-TPE analog, pure numpy;
+    reference ``configs/hparams_search/nrms_optuna_tpe.yaml`` — optuna isn't
+    in this environment).
+
+    Completed trials are split at the gamma-quantile into good/bad sets;
+    numeric params sample candidates from a Parzen (Gaussian-mixture) fit of
+    the GOOD set and keep the candidate maximizing l(x)/g(x); categoricals
+    use smoothed good/bad frequency ratios.
+    """
+    done = [h for h in history if h["value"] is not None]
+    if len(done) < n_startup:
+        return sample_params(spec, rng)
+    vals = np.asarray([h["value"] for h in done], dtype=np.float64)
+    order = np.argsort(vals)
+    if mode == "max":
+        order = order[::-1]
+    n_good = max(1, int(np.ceil(gamma * len(done))))
+    good = [done[i] for i in order[:n_good]]
+    bad = [done[i] for i in order[n_good:]] or good
+
+    def parzen_logpdf(x, pts, low, high):
+        pts = np.asarray(pts, dtype=np.float64)
+        sigma = max((high - low) / max(len(pts), 1), 1e-12)
+        comp = -0.5 * ((x[:, None] - pts[None, :]) / sigma) ** 2 - np.log(sigma)
+        m = comp.max(axis=1)
+        return m + np.log(np.exp(comp - m[:, None]).mean(axis=1) + 1e-300)
+
+    out: Dict[str, Any] = {}
+    for key, s in spec.items():
+        g_vals = [h["params"][key] for h in good]
+        b_vals = [h["params"][key] for h in bad]
+        if "choices" in s:
+            choices = s["choices"]
+            gc = np.asarray([1.0 + sum(v == c for v in g_vals) for c in choices])
+            bc = np.asarray([1.0 + sum(v == c for v in b_vals) for c in choices])
+            score = (gc / gc.sum()) / (bc / bc.sum())
+            p = score / score.sum()
+            out[key] = choices[int(rng.choice(len(choices), p=p))]
+            continue
+        log_space = bool(s.get("log"))
+        low, high = float(s["low"]), float(s["high"])
+        tf = np.log if log_space else (lambda x: np.asarray(x, dtype=np.float64))
+        lo, hi = float(tf(low)), float(tf(high))
+        g_pts, b_pts = tf(g_vals), tf(b_vals)
+        sigma = max((hi - lo) / max(len(g_pts), 1), 1e-12)
+        cand = np.clip(
+            g_pts[rng.integers(0, len(g_pts), size=n_candidates)]
+            + rng.normal(0, sigma, size=n_candidates),
+            lo, hi,
+        )
+        ei = parzen_logpdf(cand, g_pts, lo, hi) - parzen_logpdf(cand, b_pts, lo, hi)
+        x = float(cand[int(np.argmax(ei))])
+        x = float(np.exp(x)) if log_space else x
+        x = min(max(x, low), high)  # exp(log(low)) can round just below low
+        if isinstance(s.get("low"), int) and isinstance(s.get("high"), int) and not s.get("float"):
+            x = int(round(x))
+        out[key] = x
+    return out
+
+
 def grid_params(spec: Dict[str, Any]) -> List[Dict[str, Any]]:
     keys = list(spec)
     choice_lists = []
@@ -86,14 +155,23 @@ def main() -> None:
     mode = sweep.get("mode", "max")
     rng = np.random.default_rng(sweep.get("seed", 0))
 
-    if sweep.get("sampler", "random") == "grid":
-        trials = grid_params(sweep["params"])
+    sampler = sweep.get("sampler", "random")
+    n_trials = sweep.get("n_trials", 10)
+    if sampler == "grid":
+        trials: List = grid_params(sweep["params"])
+    elif sampler == "tpe":
+        trials = [None] * n_trials  # sampled adaptively from the history
     else:
-        trials = [sample_params(sweep["params"], rng) for _ in range(sweep.get("n_trials", 10))]
+        trials = [sample_params(sweep["params"], rng) for _ in range(n_trials)]
 
     results = []
     best = None
     for t, params in enumerate(trials):
+        if params is None:  # TPE: condition on completed trials
+            params = tpe_sample(
+                sweep["params"], results, sweep.get("mode", "max"), rng,
+                n_startup=sweep.get("n_startup_trials", 5),
+            )
         trial_overrides = rest + [f"{k}={v}" for k, v in params.items()]
         cfg = compose(os.path.join(REPO_ROOT, "newsreclib_tpu", "configs"), "train", trial_overrides)
         cfg["output_dir"] = os.path.join(cfg["output_dir"], f"trial_{t}")

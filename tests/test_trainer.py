@@ -133,3 +133,36 @@ def test_fit_resume_continues(setup, tmp_path):
     history = t2.fit(train_b, val_b, resume=True)
     assert t2.global_step == steps_after_2_epochs + 2 * 2  # 2 more epochs
     assert "train/loss" in history
+
+
+def test_bf16_mixed_precision_training(setup):
+    """bf16 compute path: f32 master params, finite losses, trajectory close
+    to f32 (reference trainer precision-16 analog)."""
+    train_b, val_b, model = setup
+    example = next(iter(train_b.epoch(0)))
+
+    def run(compute_dtype):
+        state = create_train_state(model, example, jax.random.key(0),
+                                   make_optimizer(1e-3))
+        t = Trainer(state, cross_entropy_loss,
+                    TrainerConfig(max_epochs=1, ckpt_dir=None,
+                                  limit_train_batches=4, log_every_n_steps=100,
+                                  compute_dtype=compute_dtype),
+                    model=model)
+        out = t.train_epoch(train_b, 0)
+        assert np.isfinite(out["train/loss"])
+        # master params stayed f32
+        assert all(
+            x.dtype == np.float32
+            for x in jax.tree.leaves(t.state.params)
+            if np.issubdtype(x.dtype, np.floating)
+        )
+        return out["train/loss"], t
+
+    loss16, t16 = run("bfloat16")
+    loss32, t32 = run(None)
+    assert abs(loss16 - loss32) < 0.05  # bf16 noise, not divergence
+
+    m16 = t16.evaluate(val_b, "val")
+    m32 = t32.evaluate(val_b, "val")
+    assert abs(m16["val/auc"] - m32["val/auc"]) < 0.05

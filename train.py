@@ -203,6 +203,16 @@ def build_optimizer(cfg: dict, steps_per_epoch: int = 0):
     return factory
 
 
+def _normalize_precision(p) -> "str | None":
+    """trainer.precision: 16 / "bf16" / "bfloat16" → bf16 compute; 32/None →
+    full f32 (reference ``configs/trainer/default.yaml:12``)."""
+    if p in (None, 32, "32", "f32", "float32"):
+        return None
+    if p in (16, "16", "bf16", "bfloat16", "16-mixed"):
+        return "bfloat16"
+    raise ValueError(f"unsupported precision {p!r}")
+
+
 def print_config_tree(cfg: dict, out_dir: str) -> None:
     """Pretty-print + persist the composed config (reference
     ``utils/rich_utils.py:18-76`` analog)."""
@@ -311,6 +321,7 @@ def run(cfg: dict) -> dict:
         limit_train_batches=tc.get("limit_train_batches"),
         limit_eval_batches=tc.get("limit_eval_batches"),
         cached_eval=tc.get("cached_eval", True),
+        compute_dtype=_normalize_precision(tc.get("precision")),
     )
 
     if adversarial:
