@@ -178,7 +178,21 @@ def main() -> None:
     eval_step = make_eval_step()
     jax.block_until_ready(eval_step(state, eval_batch))
     dt = timeit_pipelined(eval_step, state, eval_batch, steps=20)
-    log(f"uncached eval step: {dt*1e3:.2f} ms ({256/dt:.0f} impressions/s/chip)")
+
+    # MFU: compiled-graph FLOPs / wall / peak (v5e ≈ 197 TFLOP/s bf16,
+    # ≈ 98.5 TFLOP/s f32 inputs on the MXU)
+    def mfu_of(fn, args, dt_s, peak=98.5e12):
+        try:
+            cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0)) / dt_s / peak
+        except Exception:
+            return float("nan")
+
+    eval_mfu = mfu_of(eval_step, (state, eval_batch), dt)
+    log(f"uncached eval step: {dt*1e3:.2f} ms ({256/dt:.0f} impressions/s/chip, "
+        f"MFU {eval_mfu*100:.1f}%)")
 
     # ---- secondary: train step ----
     train_batch = make_batch(
@@ -190,7 +204,9 @@ def main() -> None:
     tdt = timeit_pipelined(
         lambda s, b: tstep(s, b)[1]["loss"], state, train_batch, steps=10, warmup=2
     )
-    log(f"train step: {tdt*1e3:.2f} ms ({256/tdt:.0f} impressions/s/chip)")
+    train_mfu = mfu_of(lambda s, b: tstep(s, b)[1]["loss"], (state, train_batch), tdt)
+    log(f"train step: {tdt*1e3:.2f} ms ({256/tdt:.0f} impressions/s/chip, "
+        f"MFU {train_mfu*100:.1f}%)")
 
     out = {
         "metric": "impressions_scored_per_sec_per_chip",
@@ -200,6 +216,8 @@ def main() -> None:
         "vs_baseline_basis": "estimated 2000 imp/s PyTorch GPU (see docstring)",
         "uncached_eval_ips": round(256 / dt, 1),
         "train_ips": round(256 / tdt, 1),
+        "uncached_eval_mfu": round(eval_mfu, 4),
+        "train_mfu": round(train_mfu, 4),
     }
     try:
         import os

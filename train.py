@@ -155,6 +155,12 @@ def setup_parallelism(cfg: dict):
     n = len(devices) if want in ("all", None, -1) else int(want)
     n = min(n, len(devices))
     model_axis = int(tc.get("model_axis", 1))
+    # the data axis must divide the global batch; clamp to the largest
+    # compatible device count instead of failing (debug configs use tiny
+    # batches)
+    batch = int(cfg.get("data", {}).get("batch_size", n))
+    while n > 1 and (batch % max(n // model_axis, 1) or n % model_axis):
+        n -= 1
     if n <= 1 and model_axis <= 1:
         return None, jax.process_index(), jax.process_count()
     from newsreclib_tpu.parallel.mesh import make_mesh
