@@ -142,8 +142,10 @@ def run(cfg: dict) -> dict:
 
 
 def main() -> None:
+    from train import task_wrapper
+
     cfg = compose(os.path.join(REPO_ROOT, "newsreclib_tpu", "configs"), "eval", sys.argv[1:])
-    run(cfg)
+    task_wrapper(run, cfg)
 
 
 if __name__ == "__main__":

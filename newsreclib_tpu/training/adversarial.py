@@ -36,13 +36,22 @@ class AdversarialTrainer:
         beta: float = 10.0,
         ranking: Optional[RankingMetrics] = None,
         loggers=(),
+        mesh=None,
     ):
+        self.mesh = mesh
+        if mesh is not None:
+            from newsreclib_tpu.parallel.mesh import place_state
+
+            state = SentiDebiasState(
+                place_state(state.g, mesh, cfg.row_shard_embeddings),
+                place_state(state.d, mesh, cfg.row_shard_embeddings),
+            )
         self.state = state
         self.cfg = cfg
         self.step_fn = make_sentidebias_train_step(alpha, beta)
         # standard Trainer over the generator state handles eval/test/ckpt
         self._eval_trainer = Trainer(
-            state.g, loss_fn, cfg, ranking=ranking, loggers=loggers
+            state.g, loss_fn, cfg, ranking=ranking, loggers=loggers, mesh=mesh
         )
         self.loggers = list(loggers)
         self.global_step = 0
@@ -81,6 +90,10 @@ class AdversarialTrainer:
             for i, batch in enumerate(train_batcher.epoch(epoch)):
                 if self.cfg.limit_train_batches and i >= self.cfg.limit_train_batches:
                     break
+                if self.mesh is not None:
+                    from newsreclib_tpu.parallel.mesh import shard_batch
+
+                    batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self.step_fn(self.state, batch)
                 self.global_step += 1
                 if (i + 1) % self.cfg.log_every_n_steps == 0 or i == 0:

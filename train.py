@@ -359,7 +359,7 @@ def run(cfg: dict) -> dict:
             sd_state, build_loss(cfg["model"]), trainer_cfg,
             alpha=cfg["model"].get("alpha_coefficient", 0.15),
             beta=cfg["model"].get("beta_coefficient", 10.0),
-            ranking=ranking, loggers=loggers,
+            ranking=ranking, loggers=loggers, mesh=mesh,
         )
         metrics = trainer.fit(train_batcher, val_batcher,
                               resume=bool(cfg.get("ckpt_path")))
@@ -412,11 +412,30 @@ def run(cfg: dict) -> dict:
     return metrics
 
 
+def task_wrapper(fn, cfg: dict):
+    """Reference ``utils/utils.py:45-98`` analog: log the exception (with
+    traceback) to ``<output_dir>/error.log``, always print the output dir,
+    re-raise — so sweeps/multiruns survive and diagnose failed trials."""
+    try:
+        return fn(cfg)
+    except Exception:
+        import traceback
+
+        out_dir = cfg.get("output_dir", ".")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "error.log"), "a") as f:
+            traceback.print_exc(file=f)
+        log.exception("task failed; traceback saved to %s/error.log", out_dir)
+        raise
+    finally:
+        log.info("output dir: %s", cfg.get("output_dir"))
+
+
 def main() -> None:
     cfg = compose(
         os.path.join(REPO_ROOT, "newsreclib_tpu", "configs"), "train", sys.argv[1:]
     )
-    run(cfg)
+    task_wrapper(run, cfg)
 
 
 if __name__ == "__main__":
