@@ -33,6 +33,19 @@ Mosaic-shaped design notes (each of these failed a naive formulation):
 Caller contract: rows whose QUERY position is masked return garbage (never
 NaN) — callers multiply the output by the query mask, as the torch
 ``key_padding_mask`` path would.
+
+**Measured on TPU v5e (round 2, U=4096 L=30 D=300 H=15, f32):**
+XLA reference 14.9 ms; this kernel 21.5 ms (default precision, 2.4e-2 max
+abs err from bf16 MXU passes) / 49.2 ms (HIGHEST).  The kernel LOSES on
+v5e, so ``use_pallas`` stays off in every production config.  Analysis: the
+per-key online-softmax update touches the full (BU·L, Daug) accumulator
+(3 VPU ops/key), giving O(L·N·Daug) serial VPU work ≈ 22 ms at v5e VPU
+rates — the MXU indicator matmuls overlap but cannot shrink that chain.
+Beating XLA here needs a per-ARTICLE (L, Daug) @ (Daug, L·H) layout whose
+per-(l,h) softmax runs over strided lane groups, which Mosaic's reshape
+rules currently make impractical.  Kept as a correct, tested reference
+kernel (interpret-mode tests + on-chip validation) and a base for a future
+layout rework.
 """
 
 from __future__ import annotations
