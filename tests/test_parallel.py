@@ -113,6 +113,48 @@ def test_mesh_trainer_row_sharded_embeddings():
     assert abs(out_single["train/loss"] - out_mesh["train/loss"]) < 1e-5
 
 
+def test_adversarial_trainer_on_mesh():
+    """SentiDebias alternating G/D training over the 8-device DP mesh:
+    finite losses and loss trajectory matching single-device."""
+    from newsreclib_tpu.data.synthetic import SyntheticConfig, make_batch
+    from newsreclib_tpu.models import fair_rec
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.models.fair_rec import create_sentidebias_state
+    from newsreclib_tpu.training.adversarial import AdversarialTrainer
+    from newsreclib_tpu.training.trainer import TrainerConfig
+
+    cfg = SyntheticConfig(vocab_size=200, title_len=10)
+    rng = np.random.default_rng(5)
+    batches = [
+        make_batch(rng, batch_size=8, hist_len=5, num_candidates=5,
+                   unique_news=24, cfg=cfg)
+        for _ in range(3)
+    ]
+
+    def build_state():
+        gen = fair_rec.SentiDebiasGenerator(
+            vocab_size=200, num_sent_classes=3, embed_dim=24, num_heads=4,
+            query_dim=12, sent_embed_dim=8)
+        disc = fair_rec.SentiDebiasDiscriminator(hidden_dim=16, num_sent_classes=3)
+        return create_sentidebias_state(gen, disc, batches[0], jax.random.key(0))
+
+    tc = TrainerConfig(max_epochs=1, log_every_n_steps=1000, ckpt_dir=None)
+
+    class _FB(_FixedBatcher):
+        pass
+
+    t_single = AdversarialTrainer(build_state(), cross_entropy_loss, tc)
+    h_single = t_single.fit(_FB(batches))
+
+    mesh = make_mesh(jax.devices(), model_axis=1)
+    t_mesh = AdversarialTrainer(build_state(), cross_entropy_loss, tc, mesh=mesh)
+    h_mesh = t_mesh.fit(_FB(batches))
+
+    for k in ("train/g_loss", "train/d_loss"):
+        assert np.isfinite(h_mesh[k])
+        assert abs(h_single[k] - h_mesh[k]) < 1e-4, k
+
+
 def test_mesh_cached_eval_matches_unmeshed(tmp_path_factory):
     """CachedScorer on a data-sharded mesh must reproduce the single-device
     cached metrics (incl. pooled AUC and loss)."""
