@@ -75,6 +75,58 @@ class NewsBatch(NamedTuple):
     valid: jnp.ndarray  # (U,) bool
 
 
+def densify(
+    batch: RecBatch, corpus: NewsFeatures, u_bucket: int
+) -> "tuple[RecBatch, jnp.ndarray]":
+    """On-device dedup of a GLOBAL-ROW batch (traced; jit-safe).
+
+    A global-row batch carries ``news=None`` and corpus row ids in
+    ``hist_idx``/``cand_idx`` — the layout used for multi-host training,
+    where a host-side per-batch dedup table would be process-local and could
+    not be assembled into one global array (the round-2 limitation at
+    ``parallel/mesh.py``).  Instead the dedup runs *inside* the jitted step:
+    ``jnp.unique(..., size=u_bucket)`` (static shape) maps the batch's rows
+    to a unique table, corpus features are gathered for it, and the indices
+    are remapped — producing exactly the per-batch-dedup ``RecBatch`` the
+    models consume.  Row 0 stays the padding article (0 is prepended, and
+    ``jnp.unique`` sorts ascending).
+
+    ``u_bucket`` must be ≥ the true unique count; the safe bound is
+    ``min(B*(H+C)+1, N+1)`` (see ``TrainBatcher.global_u_bucket``).  Returns
+    ``(batch, overflow)`` where ``overflow`` is a scalar bool flagging a
+    too-small bucket — callers poison the loss with NaN so the trainer's
+    finite-check surfaces it instead of training on silently dropped
+    articles.
+    """
+    import jax
+
+    hist = batch.hist_idx.astype(jnp.int32)
+    cand = batch.cand_idx.astype(jnp.int32)
+    b, h = hist.shape
+    c = cand.shape[1]
+    rows = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), hist.reshape(-1), cand.reshape(-1)]
+    )
+    unique, inv = jnp.unique(rows, return_inverse=True, size=u_bucket, fill_value=0)
+    srt = jnp.sort(rows)
+    n_unique = jnp.sum(srt[1:] != srt[:-1]) + 1
+    overflow = n_unique > u_bucket
+    news = jax.tree.map(lambda t: jnp.take(t, unique, axis=0), corpus)
+    hist_local = inv[1 : 1 + b * h].reshape(b, h).astype(jnp.int32)
+    cand_local = inv[1 + b * h :].reshape(b, c).astype(jnp.int32)
+    return (
+        batch._replace(
+            news=news,
+            hist_idx=hist_local,
+            cand_idx=cand_local,
+            hist_mask=batch.hist_mask if batch.hist_mask is not None else hist != 0,
+            cand_mask=batch.cand_mask if batch.cand_mask is not None else cand != 0,
+            labels=None if batch.labels is None else batch.labels.astype(jnp.float32),
+        ),
+        overflow,
+    )
+
+
 def batch_sizes(batch: RecBatch) -> tuple:
     """(B, H, C, U) static sizes of a RecBatch."""
     b, h = batch.hist_idx.shape

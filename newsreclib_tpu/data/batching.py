@@ -172,7 +172,16 @@ class TrainBatcher:
         seed: int = 0,
         u_bucket_min: int = 512,
         drop_last: bool = True,
+        global_rows: bool = False,
+        num_steps: Optional[int] = None,
     ):
+        """``global_rows=True`` emits batches with ``news=None`` and GLOBAL
+        store-row indices (no host-side dedup); the jitted train step dedups
+        on device (``data/batch.py::densify``).  This is the multi-host
+        layout — per-process host dedup tables cannot form a global array.
+        ``num_steps`` caps/overrides the per-epoch step count so all
+        processes of a multi-host run stay in lockstep (collectives require
+        identical step counts even when impression shards differ by one)."""
         self.store = store
         self.imp = impressions
         self.batch_size = batch_size
@@ -181,6 +190,8 @@ class TrainBatcher:
         self.seed = seed
         self.u_bucket_min = u_bucket_min
         self.drop_last = drop_last
+        self.global_rows = global_rows
+        self.num_steps = num_steps
         # explode: one training sample per positive (vectorized over the CSR)
         pos_flat = np.nonzero(impressions.labels_flat)[0]
         self.sample_imp = (
@@ -200,7 +211,20 @@ class TrainBatcher:
 
     def __len__(self) -> int:
         n = len(self.sample_imp)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        steps = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return steps if self.num_steps is None else min(steps, self.num_steps)
+
+    def global_u_bucket(self, global_batch_size: Optional[int] = None) -> int:
+        """Static dedup-table size for ``global_rows`` batches: the on-device
+        ``jnp.unique(size=...)`` needs a fixed bucket that can never
+        overflow — ``min(B*(H+C)+1, N+1)`` rounded to the next bucket.
+
+        ``densify`` runs on the assembled GLOBAL batch, so under multi-host
+        pass the global batch size (= local × process_count)."""
+        b = global_batch_size or self.batch_size
+        h, c = self.max_history_len, self.k + 1
+        worst = min(b * (h + c) + 1, self.store.title.shape[0])
+        return next_bucket(worst, self.u_bucket_min)
 
     def num_samples(self) -> int:
         return len(self.sample_imp)
@@ -250,6 +274,18 @@ class TrainBatcher:
             valid = np.zeros(b, dtype=bool)
             valid[:nsel] = True
 
+            if self.global_rows:
+                yield RecBatch(
+                    news=None,
+                    hist_idx=hist_idx,
+                    hist_mask=hist_idx != 0,
+                    cand_idx=cand_idx,
+                    cand_mask=cand_idx != 0,
+                    labels=labels,
+                    user_idx=user_idx,
+                    impression_valid=valid,
+                )
+                continue
             news, hist_local, cand_local = _dedup(
                 self.store, hist_idx, cand_idx, self.u_bucket_min
             )

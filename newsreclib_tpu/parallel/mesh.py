@@ -60,18 +60,37 @@ def param_shardings(params, mesh: Mesh, row_shard_embeddings: bool = True):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place a host/local value onto a (possibly multi-host) sharding.
+
+    Single-process: plain ``device_put`` (zero-copy when already on device).
+    Multi-host: every process must hold the SAME full value (true for
+    replicated init params — same seed everywhere — and for corpus feature
+    tables); the global array is assembled from per-process shards via
+    ``make_array_from_callback``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        raw = np.asarray(jax.random.key_data(x))
+        g = jax.make_array_from_callback(raw.shape, sharding, lambda idx: raw[idx])
+        return jax.random.wrap_key_data(g, impl=jax.random.key_impl(x))
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def place_state(state, mesh: Mesh, row_shard_embeddings: bool = True):
     """Place a TrainState onto the mesh: params per ``param_shardings``,
     optimizer state + RNG replicated.  The production multi-device path
     (``train.py`` / ``Trainer``) and the driver dryrun both go through here."""
     shardings = param_shardings(state.params, mesh, row_shard_embeddings)
-    params = jax.tree.map(jax.device_put, state.params, shardings)
+    params = jax.tree.map(put_global, state.params, shardings)
     repl = replicated(mesh)
-    opt_state = jax.tree.map(lambda x: jax.device_put(x, repl), state.opt_state)
+    opt_state = jax.tree.map(lambda x: put_global(x, repl), state.opt_state)
     return state.replace(
         params=params,
         opt_state=opt_state,
-        dropout_rng=jax.device_put(state.dropout_rng, repl),
+        dropout_rng=put_global(state.dropout_rng, repl),
     )
 
 
@@ -99,12 +118,16 @@ def shard_batch(batch, mesh: Mesh):
         if multi_host and batch.news is not None:
             # A per-batch deduped news table is process-local (each host
             # deduped ITS impression shard), so it cannot be replicated as a
-            # global array.  Multi-host batches must use global store rows
-            # (news=None + a device-resident corpus table — the serving path
-            # layout) instead of per-batch tables.
-            raise NotImplementedError(
+            # global array.  Multi-host training uses GLOBAL-ROW batches:
+            # ``TrainBatcher(global_rows=True)`` emits ``news=None`` batches
+            # carrying corpus row ids, and the jitted step dedups on device
+            # against a device-resident corpus table
+            # (``data/batch.py::densify``).  ``train.py`` selects this mode
+            # automatically when ``process_count > 1``.
+            raise ValueError(
                 "multi-host shard_batch requires global-row batches "
-                "(news=None); per-batch dedup tables are process-local"
+                "(news=None): use TrainBatcher(global_rows=True) + "
+                "Trainer(corpus=..., u_bucket=...)"
             )
         news = jax.tree.map(lambda x: place(x, repl), batch.news)
         rest = jax.tree.map(lambda x: place(x, data_s), batch._replace(news=None)._asdict())

@@ -16,7 +16,7 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from newsreclib_tpu.data.batch import RecBatch
+from newsreclib_tpu.data.batch import NewsFeatures, RecBatch, densify
 from newsreclib_tpu.models.base import mask_scores
 from newsreclib_tpu.metrics.collector import RankingMetrics
 from newsreclib_tpu.training.state import TrainState
@@ -31,7 +31,8 @@ def _cast_floats(tree, dtype):
 
 
 def make_train_step(loss_fn: Callable, donate: bool = True,
-                    compute_dtype: Optional[str] = None):
+                    compute_dtype: Optional[str] = None,
+                    u_bucket: Optional[int] = None):
     """Build a jitted train step.
 
     ``loss_fn(scores, labels, cand_mask, valid) -> scalar``; model aux losses
@@ -42,11 +43,22 @@ def make_train_step(loss_fn: Callable, donate: bool = True,
     master params and optimizer state stay f32, the forward/backward runs
     with bf16-cast params (the cast is differentiable, so gradients emerge
     f32).  bf16 needs no loss scaling (same exponent range as f32).
+
+    ``u_bucket``: enables the GLOBAL-ROW mode (multi-host training) — the
+    returned step takes a third argument ``corpus`` (device-resident
+    ``NewsFeatures`` for the whole store) and batches must carry
+    ``news=None`` with global store rows; dedup happens on device
+    (``data/batch.py::densify``).  An overflowing bucket poisons the loss
+    with NaN so the trainer's finite-check raises.
     """
     cdtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
-    def train_step(state: TrainState, batch: RecBatch) -> Tuple[TrainState, Dict]:
+    def train_step(state: TrainState, batch: RecBatch,
+                   corpus: Optional[NewsFeatures] = None) -> Tuple[TrainState, Dict]:
         dropout_rng = jax.random.fold_in(state.dropout_rng, state.step)
+        overflow = None
+        if corpus is not None:
+            batch, overflow = densify(batch, corpus, u_bucket)
 
         def loss_of(params):
             p = _cast_floats(params, cdtype) if cdtype is not None else params
@@ -60,6 +72,8 @@ def make_train_step(loss_fn: Callable, donate: bool = True,
             loss = loss_fn(scores, batch.labels, batch.cand_mask, batch.impression_valid)
             for v in aux.values():
                 loss = loss + v.astype(jnp.float32)
+            if overflow is not None:
+                loss = loss + jnp.where(overflow, jnp.nan, 0.0)
             return loss, (scores, aux)
 
         (loss, (_, aux)), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
@@ -75,12 +89,20 @@ def make_eval_step(
     ranking: Optional[RankingMetrics] = None,
     with_aspects: bool = True,
     compute_dtype: Optional[str] = None,
+    u_bucket: Optional[int] = None,
 ):
-    """Build a jitted eval step → (scores, per-impression metrics, loss)."""
+    """Build a jitted eval step → (scores, per-impression metrics, loss).
+
+    ``u_bucket``: global-row mode — see ``make_train_step``; the step takes
+    a third ``corpus`` argument and dedups on device.
+    """
     ranking = ranking or RankingMetrics()
     cdtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
-    def eval_step(state: TrainState, batch: RecBatch):
+    def eval_step(state: TrainState, batch: RecBatch,
+                  corpus: Optional[NewsFeatures] = None):
+        if corpus is not None:
+            batch, _ = densify(batch, corpus, u_bucket)
         p = _cast_floats(state.params, cdtype) if cdtype is not None else state.params
         scores, _ = state.apply_fn({"params": p}, batch, deterministic=True)
         scores = scores.astype(jnp.float32)

@@ -29,6 +29,7 @@ from dataclasses import dataclass
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from newsreclib_tpu.data.batching import EvalBatcher, TrainBatcher
@@ -73,7 +74,15 @@ class Trainer:
         collect_auc_inputs: bool = True,
         mesh=None,
         model=None,
+        corpus=None,
+        u_bucket: Optional[int] = None,
     ):
+        """``corpus`` + ``u_bucket`` enable GLOBAL-ROW training (multi-host):
+        the whole news store's features live device-resident (replicated) and
+        train batches carry global store rows with ``news=None``; the jitted
+        step dedups on device (``data/batch.py::densify``).  Required
+        whenever ``jax.process_count() > 1`` — per-process host dedup tables
+        cannot form a global array (``parallel/mesh.py::shard_batch``)."""
         self.cfg = cfg
         self.mesh = mesh
         self.model = model
@@ -84,9 +93,20 @@ class Trainer:
         self.state = state
         self.loggers = list(loggers)
         self.ranking = ranking or RankingMetrics()
-        self.train_step = make_train_step(loss_fn, compute_dtype=cfg.compute_dtype)
+        self.train_step = make_train_step(loss_fn, compute_dtype=cfg.compute_dtype,
+                                          u_bucket=u_bucket)
         self.eval_step = make_eval_step(loss_fn=loss_fn, ranking=self.ranking,
                                         compute_dtype=cfg.compute_dtype)
+        self._loss_fn = loss_fn
+        self.corpus = None
+        if corpus is not None:
+            if mesh is not None:
+                from newsreclib_tpu.parallel.mesh import put_global, replicated
+
+                repl = replicated(mesh)
+                self.corpus = jax.tree.map(lambda x: put_global(x, repl), corpus)
+            else:
+                self.corpus = jax.device_put(corpus)
         self.collect_auc_inputs = collect_auc_inputs
         self.ckpt = Checkpointer(cfg.ckpt_dir, mode=cfg.mode) if cfg.ckpt_dir else None
         self.global_step = 0
@@ -94,6 +114,7 @@ class Trainer:
         # cached-eval dispatch: the model must define the serving split on its
         # class (NPA's news tower is user-conditioned, so it doesn't)
         self._cached_scorer = None
+        self._local_scorer = None  # multi-host: rank-0 process-local eval
         if (
             cfg.cached_eval
             and model is not None
@@ -141,7 +162,10 @@ class Trainer:
             if self.cfg.limit_train_batches and i >= self.cfg.limit_train_batches:
                 break
             batch = self._shard(batch)
-            self.state, metrics = self.train_step(self.state, batch)
+            if self.corpus is not None:
+                self.state, metrics = self.train_step(self.state, batch, self.corpus)
+            else:
+                self.state, metrics = self.train_step(self.state, batch)
             loss = metrics["loss"]
             if hasattr(loss, "copy_to_host_async"):
                 loss.copy_to_host_async()
@@ -166,7 +190,71 @@ class Trainer:
         }
         return out
 
+    def _to_local(self, tree):
+        """Copy a (replicated) global-mesh pytree onto this process's first
+        device — multi-host evaluation runs process-locally (see
+        ``_evaluate_local``)."""
+        def conv(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return jnp.asarray(x.addressable_data(0))
+            return x
+
+        return jax.tree.map(conv, tree)
+
+    def _evaluate_local(self, batcher, prefix: str) -> Dict[str, float]:
+        """Multi-host evaluation: rank 0 evaluates the full set on its local
+        devices; other ranks skip (``fit`` broadcasts the monitored value).
+
+        Rationale: eval has no gradient all-reduce to amortize, params are
+        replicated (addressable locally), and per-process bucketed batch
+        counts differ — running eval over the global mesh would desync the
+        processes' collective programs.  Reference analog: Lightning runs
+        val on every DDP rank over a sharded sampler; here one rank scoring
+        the full set keeps metric semantics identical to single-host.
+        """
+        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+            raise NotImplementedError(
+                "multi-host eval with row-sharded embeddings (model axis > 1): "
+                "params are not process-locally addressable"
+            )
+        if jax.process_index() != 0:
+            return {}
+        local_state = self._to_local(self.state)
+        if (
+            self._cached_scorer is not None
+            and not self.cfg.limit_eval_batches
+            and isinstance(batcher, EvalBatcher)
+        ):
+            if self._local_scorer is None:
+                from newsreclib_tpu.serving import CachedScorer
+
+                self._local_scorer = CachedScorer(
+                    self.model, ranking=self.ranking, loss_fn=self._loss_fn,
+                    compute_dtype=self.cfg.compute_dtype,
+                )
+            metrics = self._local_scorer.evaluate(
+                local_state.params, batcher.store, batcher.imp,
+                max_history_len=batcher.max_history_len,
+                target_cells=batcher.target_cells,
+                collect_auc=self.collect_auc_inputs,
+            )
+            return {f"{prefix}/{k}": v for k, v in metrics.items()}
+        stream = StreamingEval(collect_auc=self.collect_auc_inputs)
+        for i, batch in enumerate(batcher):
+            if self.cfg.limit_eval_batches and i >= self.cfg.limit_eval_batches:
+                break
+            scores, per_imp, valid, loss = self.eval_step(local_state, batch)
+            stream.update(
+                scores, per_imp, valid,
+                batch.labels if self.collect_auc_inputs else None,
+                batch.cand_mask if self.collect_auc_inputs else None,
+                loss,
+            )
+        return {f"{prefix}/{k}": v for k, v in stream.finalize().items()}
+
     def evaluate(self, batcher: EvalBatcher, prefix: str = "val") -> Dict[str, float]:
+        if jax.process_count() > 1:
+            return self._evaluate_local(batcher, prefix)
         # fast path: per-epoch news-vector cache (serving.py) — 24× the
         # uncached step on the round-1 bench.  Falls back to the uncached
         # streaming path when the model can't split or batches are limited
@@ -231,6 +319,15 @@ class Trainer:
                 val_metrics = self.evaluate(val_batcher, "val")
                 metrics.update(val_metrics)
                 monitored = val_metrics.get(f"val/{self.cfg.monitor}")
+                if jax.process_count() > 1:
+                    # rank 0 evaluated; every process must see the same
+                    # monitored value or early-stopping decisions desync the
+                    # collective program (deadlock)
+                    from jax.experimental import multihost_utils
+
+                    monitored = float(multihost_utils.broadcast_one_to_all(
+                        np.float32(np.nan if monitored is None else monitored)
+                    ))
             else:
                 monitored = train_metrics["train/loss"]
             self._log(metrics, self.global_step)
@@ -238,8 +335,14 @@ class Trainer:
             improved = best is None or (
                 monitored < best if self.cfg.mode == "min" else monitored > best
             )
-            if self.ckpt:
-                self.ckpt.save(self.state, self.global_step, metric=monitored,
+            if self.ckpt and jax.process_index() == 0:
+                # rank-zero checkpointing (reference rank_zero_only analog);
+                # multi-host arrays are fetched to host first — orbax cannot
+                # save non-addressable shards from one process
+                ckpt_state = (
+                    self._to_local(self.state) if jax.process_count() > 1 else self.state
+                )
+                self.ckpt.save(ckpt_state, self.global_step, metric=monitored,
                                extra={"epoch": epoch})
             if improved:
                 best = monitored

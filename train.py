@@ -267,30 +267,71 @@ def run(cfg: dict) -> dict:
         return metrics
 
     adversarial = bool(cfg["model"].get("adversarial"))
+    if adversarial and proc_count > 1:
+        raise NotImplementedError(
+            "multi-host adversarial (SentiDebias) training is not wired; "
+            "run it single-host or data-parallel within one host"
+        )
     model = None if adversarial else build_model(cfg["model"], info)
     loss_fn = build_loss(cfg["model"])
     dc = cfg["data"]
     train_imp = mind.impressions("train")
+    # multi-host: ``data.batch_size`` is the GLOBAL batch; each process
+    # assembles its 1/proc_count shard and batches carry global store rows
+    # (per-process dedup tables cannot form a global array — parallel/mesh.py)
+    global_rows = (proc_count > 1 or bool(dc.get("global_rows"))) and not adversarial
+    local_batch = dc["batch_size"]
+    num_steps = None
     if proc_count > 1:
         from newsreclib_tpu.parallel.data import shard_impressions
 
+        assert dc["batch_size"] % proc_count == 0, (
+            f"global batch_size {dc['batch_size']} not divisible by "
+            f"{proc_count} processes"
+        )
+        local_batch = dc["batch_size"] // proc_count
+        # lockstep epochs: every process must run the same number of steps
+        # (collectives deadlock otherwise); derive min steps over all shards
+        # from the full impression set, which every process loads
+        pos_per_imp = np.add.reduceat(
+            train_imp.labels_flat.astype(np.int64), train_imp.cand_offsets[:-1]
+        )
+        num_steps = min(
+            int(pos_per_imp[p::proc_count].sum()) // local_batch
+            for p in range(proc_count)
+        )
         train_imp = shard_impressions(train_imp, proc_idx, proc_count)
-        log.info("process %d/%d: %d train impressions", proc_idx, proc_count,
-                 len(train_imp))
+        log.info("process %d/%d: %d train impressions, %d steps/epoch",
+                 proc_idx, proc_count, len(train_imp), num_steps)
     if mesh is not None:
         data_par = mesh.shape.get("data", 1)
         assert dc["batch_size"] % data_par == 0, (
             f"batch_size {dc['batch_size']} not divisible by data axis {data_par}"
         )
+    batcher_kwargs = dict(
+        batch_size=local_batch,
+        max_history_len=dc["max_history_len"],
+        neg_sampling_ratio=dc["neg_sampling_ratio"],
+        u_bucket_min=dc.get("u_bucket_min", 512),
+    )
     train_batcher = TrainBatcher(
         store_train,
         train_imp,
-        batch_size=dc["batch_size"],
-        max_history_len=dc["max_history_len"],
-        neg_sampling_ratio=dc["neg_sampling_ratio"],
-        seed=cfg.get("seed", 0),
-        u_bucket_min=dc.get("u_bucket_min", 512),
+        # decorrelate per-process negative sampling / shuffling
+        seed=cfg.get("seed", 0) + 7919 * proc_idx,
+        global_rows=global_rows,
+        num_steps=num_steps,
+        **batcher_kwargs,
     )
+    corpus_feats = None
+    u_bucket = None
+    if global_rows:
+        corpus_feats = store_train.features_for(
+            np.arange(store_train.title.shape[0])
+        )
+        u_bucket = train_batcher.global_u_bucket(dc["batch_size"])
+        log.info("global-row training: corpus table %d rows, u_bucket %d",
+                 store_train.title.shape[0], u_bucket)
     eval_mult = 1 if mesh is None else int(mesh.shape.get("data", 1))
     val_batcher = EvalBatcher(
         store_train, mind.impressions("val"),
@@ -368,7 +409,14 @@ def run(cfg: dict) -> dict:
         log.info("final metrics: %s", {k: round(v, 4) for k, v in metrics.items()})
         return metrics
 
-    example = next(iter(train_batcher.epoch(0)))
+    if global_rows:
+        # model.init needs a densified example (news table present); build
+        # one from a host-dedup batcher over the same impressions
+        example = next(iter(TrainBatcher(
+            store_train, train_imp, seed=cfg.get("seed", 0), **batcher_kwargs
+        ).epoch(0)))
+    else:
+        example = next(iter(train_batcher.epoch(0)))
     state = create_train_state(
         model,
         example,
@@ -390,7 +438,7 @@ def run(cfg: dict) -> dict:
             log.info("spliced ported PLM weights into %d encoder towers", n)
 
     trainer = Trainer(state, loss_fn, trainer_cfg, ranking=ranking, loggers=loggers,
-                      mesh=mesh, model=model)
+                      mesh=mesh, model=model, corpus=corpus_feats, u_bucket=u_bucket)
 
     metrics = trainer.fit(train_batcher, val_batcher,
                           resume=bool(cfg.get("ckpt_path")))
