@@ -97,6 +97,16 @@ def preflight(timeout_s: int = 180, attempts: int = 3) -> bool:
     """
     import signal
 
+    # imports hoisted ABOVE the alarm loop: interrupting `import jax` mid-
+    # initialization would leave a partially-initialized module for the next
+    # attempt (ADVICE r2); jax is pre-imported by sitecustomize anyway, so
+    # this cannot hang
+    import jax
+    import jax.numpy as jnp
+
+    # one shared jitted fn so retries genuinely hit the in-process jit cache
+    fn = jax.jit(lambda x: jnp.sum(x * 2))
+
     def _handler(signum, frame):
         raise TimeoutError
 
@@ -105,10 +115,7 @@ def preflight(timeout_s: int = 180, attempts: int = 3) -> bool:
         for attempt in range(attempts):
             signal.alarm(timeout_s)
             try:
-                import jax
-                import jax.numpy as jnp
-
-                val = float(jax.jit(lambda x: jnp.sum(x * 2))(jnp.ones((128, 128))))
+                val = float(fn(jnp.ones((128, 128))))
                 assert abs(val - 2 * 128 * 128) < 1
                 return True
             except TimeoutError:
@@ -116,6 +123,8 @@ def preflight(timeout_s: int = 180, attempts: int = 3) -> bool:
                     f"preflight attempt {attempt + 1}/{attempts} timed out "
                     f"after {timeout_s}s (tunnel slow or wedged)"
                 )
+            except Exception as e:  # a wedged tunnel can surface as RPC errors
+                log(f"preflight attempt {attempt + 1}/{attempts} failed: {e!r}")
             finally:
                 signal.alarm(0)
         log("preflight TIMEOUT: device cannot compile/execute (tunnel wedged?)")

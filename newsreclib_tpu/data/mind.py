@@ -405,6 +405,19 @@ class MINDData:
         return store
 
     def impressions(self, split: str) -> Impressions:
+        # dense CSR cache beside the parsed TSV (same existence-based cache
+        # validity convention as every other artifact, file_utils.py:9-24
+        # semantics): re-parsing 220k behaviors through the TSV converters
+        # costs ~28s, the npz loads in well under a second
+        raw_split = "dev" if split == "test" else "train"
+        prefix = {"train": "train_", "val": "val_", "test": ""}[split]
+        cache = os.path.join(self.split_dir(raw_split), prefix + "impressions.npz")
+        if os.path.exists(cache):
+            z = np.load(cache, allow_pickle=False)
+            return Impressions(
+                z["hist_flat"], z["hist_offsets"], z["cand_flat"],
+                z["cand_offsets"], z["labels_flat"], z["user_idx"], z["user_ids"],
+            )
         store = self.news_store(split)
         bhv = self.load_behaviors(split)
         # vectorized nid→row mapping (pandas Index.get_indexer, C path)
@@ -426,10 +439,18 @@ class MINDData:
             [np.asarray(x, dtype=np.int8) for x in bhv["labels"]]
         ) if len(bhv) else np.zeros(0, np.int8)
         user_ids = np.asarray([int(u.split("U")[-1]) for u in bhv["uid"]])
-        return Impressions(
+        imp = Impressions(
             hist_flat, hist_off, cand_flat, cand_off, labels_flat,
             np.asarray(bhv["user"], dtype=np.int32), user_ids,
         )
+        np.savez_compressed(
+            cache,
+            hist_flat=imp.hist_flat, hist_offsets=imp.hist_offsets,
+            cand_flat=imp.cand_flat, cand_offsets=imp.cand_offsets,
+            labels_flat=imp.labels_flat, user_idx=imp.user_idx,
+            user_ids=imp.user_ids,
+        )
+        return imp
 
     def num_users(self) -> int:
         fpath = os.path.join(self.split_dir("train"), ID2INDEX_FILENAMES["uid2index"])

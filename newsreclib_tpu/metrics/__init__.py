@@ -7,7 +7,7 @@ from newsreclib_tpu.metrics.functional import (
     ndcg_at_k,
     personalization_at_k,
 )
-from newsreclib_tpu.metrics.collector import EvalCollector, RankingMetrics
+from newsreclib_tpu.metrics.collector import RankingMetrics, StreamingEval
 
 __all__ = [
     "binary_auc",
@@ -17,6 +17,6 @@ __all__ = [
     "personalization_at_k",
     "generalized_jaccard",
     "harmonic_mean",
-    "EvalCollector",
+    "StreamingEval",
     "RankingMetrics",
 ]

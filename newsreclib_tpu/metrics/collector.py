@@ -181,52 +181,5 @@ class StreamingEval:
         return out
 
 
-class EvalCollector:
-    """Accumulates per-impression metric sums + pooled AUC inputs."""
-
-    def __init__(self):
-        self._sums: Dict[str, float] = {}
-        self._count: float = 0.0
-        self._preds: List[np.ndarray] = []
-        self._targets: List[np.ndarray] = []
-        self._loss_sum: float = 0.0
-        self._loss_count: float = 0.0
-
-    def update(
-        self,
-        per_impression: Dict[str, jnp.ndarray],
-        valid: jnp.ndarray,  # (B,) bool — real (non-padding) impressions
-        scores: Optional[np.ndarray] = None,  # (B, C)
-        labels: Optional[np.ndarray] = None,
-        cand_mask: Optional[np.ndarray] = None,
-        loss: Optional[float] = None,
-    ) -> None:
-        v = np.asarray(valid).astype(np.float32)
-        self._count += float(v.sum())
-        for name, vals in per_impression.items():
-            self._sums[name] = self._sums.get(name, 0.0) + float(
-                np.sum(np.asarray(vals, dtype=np.float32) * v)
-            )
-        if scores is not None:
-            m = np.asarray(cand_mask).astype(bool) & np.asarray(v, dtype=bool)[:, None]
-            self._preds.append(np.asarray(scores, dtype=np.float32)[m])
-            self._targets.append(np.asarray(labels, dtype=np.int8)[m])
-        if loss is not None:
-            self._loss_sum += float(loss)
-            self._loss_count += 1.0
-
-    def compute(self) -> Dict[str, float]:
-        out = {
-            name: (s / self._count if self._count else 0.0)
-            for name, s in self._sums.items()
-        }
-        if self._preds:
-            preds = np.concatenate(self._preds)
-            targets = np.concatenate(self._targets)
-            out["auc"] = float(F.binary_auc(jnp.asarray(preds), jnp.asarray(targets)))
-        if self._loss_count:
-            out["loss"] = self._loss_sum / self._loss_count
-        return out
-
-    def reset(self) -> None:
-        self.__init__()
+# (the host-side EvalCollector duplicate was removed in round 3 — the
+# device-side StreamingEval above is the single accumulation path)

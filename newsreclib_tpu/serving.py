@@ -386,23 +386,41 @@ class CachedScorer:
     ) -> Dict[str, Dict[str, float]]:
         """Per-user candidate scores as JSON: {"U<id>": {"N<id>": score}}.
 
+        Honors the scorer's ``mesh`` (data-sharded scoring) and
+        ``compute_dtype`` (bf16 serving) like ``evaluate``.
+
         Reference analog: ``save_recs`` / ``_get_recommendations`` /
         ``_save_recommendations`` (``abstract_recommender.py:159-193``).
         """
         import json
 
-        table = build_news_vector_table(self.model, params, store, encode_batch)
+        if self.compute_dtype is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(self.compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                params,
+            )
+        table = build_news_vector_table(
+            self.model, params, store, encode_batch, mesh=self.mesh,
+            dtype=self.compute_dtype or jnp.float32,
+        )
         score_fn = jax.jit(
             lambda p, b, t: self.model.apply(
                 {"params": p}, b, t, deterministic=True, method="score_with_vectors"
-            )
+            ).astype(jnp.float32)
         )
+        mult = 1 if self.mesh is None else int(self.mesh.shape.get("data", 1))
+        batch_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(self.mesh, P("data"))
         # vectorized assembly: one numpy pass over all (impression, candidate)
         # pairs instead of a per-row/per-candidate Python loop (quadratic pain
         # at MINDlarge scale)
         row2nid = {v: k for k, v in store.nid2row.items()}
         recs: Dict[str, Dict[str, float]] = {}
-        batcher = GlobalEvalBatcher(impressions, max_history_len)
+        batcher = GlobalEvalBatcher(impressions, max_history_len, batch_multiple=mult)
         # recover which impression each batch row holds: iterate in the same
         # bucket order the assembler uses
         order = np.asarray(
@@ -411,6 +429,10 @@ class CachedScorer:
         all_rows, all_scores, all_imp = [], [], []
         cursor = 0
         for batch in batcher:
+            if batch_sharding is not None:
+                batch = jax.tree.map(
+                    lambda x: jax.device_put(x, batch_sharding), batch
+                )
             scores = np.asarray(score_fn(params, batch, table))
             n_valid = int(np.sum(batch.impression_valid))
             cand = np.asarray(batch.cand_idx[:n_valid])

@@ -8,7 +8,7 @@ import pytest
 from newsreclib_tpu.data.batching import EvalBatcher
 from newsreclib_tpu.data.mind import MINDConfig, MINDData
 from newsreclib_tpu.data.testing import write_mind_fixture
-from newsreclib_tpu.metrics.collector import EvalCollector
+from newsreclib_tpu.metrics.collector import StreamingEval
 from newsreclib_tpu.models.general_rec import NRMS
 from newsreclib_tpu.serving import CachedScorer, build_news_vector_table
 from newsreclib_tpu.training.state import create_train_state, make_optimizer
@@ -49,12 +49,11 @@ def test_cached_eval_matches_uncached(setup):
     mind, store, imp, model, state = setup
     # uncached path
     eval_step = make_eval_step()
-    coll = EvalCollector()
+    stream = StreamingEval()
     for batch in EvalBatcher(store, imp, max_history_len=8, target_cells=64, u_bucket_min=64):
         scores, per_imp, valid, _ = eval_step(state, batch)
-        coll.update({k: np.asarray(v) for k, v in per_imp.items()}, np.asarray(valid),
-                    np.asarray(scores), batch.labels, np.asarray(batch.cand_mask))
-    uncached = coll.compute()
+        stream.update(scores, per_imp, valid, batch.labels, batch.cand_mask)
+    uncached = stream.finalize()
 
     cached = CachedScorer(model).evaluate(
         state.params, store, imp, max_history_len=8, target_cells=64
@@ -96,3 +95,29 @@ def test_export_recommendations(setup, tmp_path):
             if r and str(row2nid[int(r)]) in d:
                 n_checked += 1
     assert n_checked > 10  # exported scores cover the impression candidates
+
+
+def test_export_recommendations_meshed_bf16(setup, tmp_path):
+    """export_recommendations under the 8-device data mesh + bf16 compute
+    must produce the same structure and closely matching scores as the
+    plain-f32 export (VERDICT r2 item 7)."""
+    import json
+
+    from newsreclib_tpu.parallel.mesh import make_mesh
+
+    mind, store, imp, model, state = setup
+    plain = CachedScorer(model).export_recommendations(
+        state.params, store, imp, str(tmp_path / "plain.json"), max_history_len=8
+    )
+    mesh = make_mesh(jax.devices(), model_axis=1)
+    meshed = CachedScorer(model, mesh=mesh, compute_dtype="bfloat16").export_recommendations(
+        state.params, store, imp, str(tmp_path / "mesh.json"), max_history_len=8
+    )
+    assert plain.keys() == meshed.keys()
+    n = 0
+    for u in plain:
+        for nid, s in plain[u].items():
+            assert nid in meshed[u]
+            assert abs(meshed[u][nid] - s) < 0.05  # bf16 rounding
+            n += 1
+    assert n > 0

@@ -42,10 +42,16 @@ def setup_data(cfg: dict):
         from newsreclib_tpu.data.adressa import AdressaConfig, AdressaData
 
         if dc.get("generate_fixture"):
-            from newsreclib_tpu.data.testing import write_adressa_fixture
-
             if not os.path.exists(os.path.join(dc["data_dir"], "one_week.tar.gz")):
-                write_adressa_fixture(dc["data_dir"])
+                if dc["generate_fixture"] == "statfix":
+                    # learnable preference-signal fixture (PARITY.md)
+                    from newsreclib_tpu.data.statfix import write_adressa_statfix
+
+                    write_adressa_statfix(dc["data_dir"])
+                else:
+                    from newsreclib_tpu.data.testing import write_adressa_fixture
+
+                    write_adressa_fixture(dc["data_dir"])
         return AdressaData(
             AdressaConfig(
                 data_dir=dc["data_dir"],
@@ -450,7 +456,8 @@ def run(cfg: dict) -> dict:
         from newsreclib_tpu.serving import CachedScorer
 
         recs_fpath = cfg.get("recs_fpath") or os.path.join(out_dir, "recommendations.json")
-        CachedScorer(model).export_recommendations(
+        CachedScorer(model, mesh=mesh,
+                     compute_dtype=trainer_cfg.compute_dtype).export_recommendations(
             trainer.state.params, mind.news_store("test"), mind.impressions("test"),
             recs_fpath, max_history_len=dc["max_history_len"],
         )
