@@ -172,7 +172,10 @@ def main() -> None:
                 sweep["params"], results, sweep.get("mode", "max"), rng,
                 n_startup=sweep.get("n_startup_trials", 5),
             )
-        trial_overrides = rest + [f"{k}={v}" for k, v in params.items()]
+        # spec-level fixed overrides (e.g. a reduced per-trial epoch budget)
+        # compose before CLI overrides so the CLI still wins
+        fixed = [f"{k}={v}" for k, v in (sweep.get("overrides") or {}).items()]
+        trial_overrides = fixed + rest + [f"{k}={v}" for k, v in params.items()]
         cfg = compose(os.path.join(REPO_ROOT, "newsreclib_tpu", "configs"), "train", trial_overrides)
         cfg["output_dir"] = os.path.join(cfg["output_dir"], f"trial_{t}")
         try:
