@@ -81,9 +81,11 @@ def main() -> None:
     # ---- forward+backward (grads, no optimizer) ----
     @jax.jit
     def fwd_bwd(params, b, key):
+        # return the grads too — returning only the value lets XLA dead-code
+        # eliminate the whole backward pass (round-3 first attempt did)
         return jax.value_and_grad(
             lambda p: fwd.__wrapped__(p, b, key)  # un-jitted inner
-        )(params)[0]
+        )(params)
 
     t_fb = time_fn("forward+backward (no optimizer)", fwd_bwd, state.params, batch, key)
 
@@ -110,7 +112,7 @@ def main() -> None:
     def enc_bwd(params, news):
         return jax.value_and_grad(
             lambda p: enc.__wrapped__(p, news)
-        )(params)[0]
+        )(params)
 
     t_enc_bwd = time_fn("news encode fwd+bwd", enc_bwd, state.params, batch.news)
 
@@ -124,7 +126,7 @@ def main() -> None:
                             method="score_with_vectors")
             return loss_fn(s.astype(jnp.float32), b.labels, b.cand_mask,
                            b.impression_valid)
-        return jax.value_and_grad(f)(params)[0]
+        return jax.value_and_grad(f)(params)
 
     t_score = time_fn("user+score fwd+bwd (vecs given)", score_bwd, state.params, batch)
 
@@ -137,7 +139,7 @@ def main() -> None:
         def f(x):
             e = jnp.take(x.astype(jnp.bfloat16), t, axis=0)
             return jnp.sum(e.astype(jnp.float32) * 1e-6)
-        return jax.value_and_grad(f)(tbl)[0]
+        return jax.value_and_grad(f)(tbl)
 
     t_emb = time_fn("embed gather+scatter-grad only", embed_bwd, table, tok)
 

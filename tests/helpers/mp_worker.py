@@ -102,6 +102,11 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.path.join(REPO, ".cache", "jax_tests")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{args.port}",
         num_processes=args.num_processes,
