@@ -50,6 +50,16 @@ HIST = 50
 CANDS = 32
 TITLE = 30
 VOCAB = 60000
+SPLIT_TITLE = 16  # length-bucket split width (data/batching.py)
+
+
+def realistic_title_lens(rng, n):
+    """Title token counts ~ Poisson(11) clipped to [4, TITLE] — matching the
+    real MIND corpus (mean ~11 tokens; the reference pads everything to 30,
+    ``configs/data/mind_rec.yaml:56``).  Round 2 benched uniform(5, 30)
+    lengths (mean 17.5), which overstates real title lengths; BENCH notes
+    record both distributions for round-over-round comparability."""
+    return np.clip(rng.poisson(11.0, size=n), 4, TITLE)
 
 
 def log(*a):
@@ -62,7 +72,7 @@ def build_eval_workload(rng):
     from newsreclib_tpu.data.news_store import NewsStore
 
     title = np.zeros((CORPUS + 1, TITLE), dtype=np.int32)
-    lens = rng.integers(5, TITLE + 1, size=CORPUS)
+    lens = realistic_title_lens(rng, CORPUS)
     for i in range(CORPUS):
         title[i + 1, : lens[i]] = rng.integers(2, VOCAB, size=lens[i])
     store = NewsStore(

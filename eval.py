@@ -40,12 +40,18 @@ def _ranking(cfg: dict, info) -> RankingMetrics:
 
 
 def _test_batcher(cfg: dict, mind) -> EvalBatcher:
+    from newsreclib_tpu.models.factory import title_split_margin
+
     dc = cfg["data"]
+    margin = title_split_margin(cfg["model"].get("name", ""))
     return EvalBatcher(
-        mind.news_store("test"), mind.impressions("test"),
+        mind.news_store("test").trim_titles(margin=margin),
+        mind.impressions("test"),
         max_history_len=dc["max_history_len"],
         target_cells=dc.get("eval_target_cells", 8192),
         u_bucket_min=dc.get("u_bucket_min", 512),
+        split_title_len=dc.get("split_title_len", 16),
+        split_margin=margin,
     )
 
 

@@ -52,6 +52,19 @@ class RecBatch(NamedTuple):
 
     Reference analog: ``RecommendationBatch`` (``batch.py:6-32``) — but dense
     and with per-batch news dedup.
+
+    **Length-bucketed news (round 3):** when ``news2`` is not None, the
+    unique-news table is SPLIT into two row segments sorted by title length:
+    ``news`` holds the short-title rows with the title columns sliced to the
+    split width, ``news2`` holds the long-title tail at full width.  The
+    logical table is ``concat(rows(news), rows(news2))`` and
+    ``hist_idx``/``cand_idx`` address that concatenated space.  Encoding the
+    short majority at the narrow width reclaims the ~2.5× attention/CNN work
+    the reference wastes padding every title to ``max_title_len``
+    (``rec_dataset.py:170-178`` pads everything to 30; real MIND titles
+    average ~11 tokens).  Models consume this via
+    ``models/base.py::encode_all_news`` — numerically exact because padding
+    token embeddings are hard zeros (``components/embedding.py``).
     """
 
     news: NewsFeatures
@@ -62,6 +75,7 @@ class RecBatch(NamedTuple):
     labels: jnp.ndarray  # (B, C) float32 {0, 1}; 0 on padded slots
     user_idx: jnp.ndarray  # (B,) int32 — index into user table (LSTUR/NPA)
     impression_valid: Optional[jnp.ndarray] = None  # (B,) bool — row is real
+    news2: Optional[NewsFeatures] = None  # long-title tail segment (see above)
 
 
 class NewsBatch(NamedTuple):
@@ -128,8 +142,10 @@ def densify(
 
 
 def batch_sizes(batch: RecBatch) -> tuple:
-    """(B, H, C, U) static sizes of a RecBatch."""
+    """(B, H, C, U) static sizes of a RecBatch (U spans both news segments)."""
     b, h = batch.hist_idx.shape
     c = batch.cand_idx.shape[1]
     u = batch.news.title.shape[0]
+    if batch.news2 is not None:
+        u += batch.news2.title.shape[0]
     return b, h, c, u

@@ -139,13 +139,92 @@ class Impressions:
         return cands, labels
 
 
+def split_news_by_length(
+    news,
+    hist_local: np.ndarray,
+    cand_local: np.ndarray,
+    split_title_len: int,
+    min_tail: int = 64,
+    margin: int = 0,
+) -> Tuple:
+    """Reorder a per-batch unique news table by title length and split it
+    into (short @ ``split_title_len``, long @ full width) row segments with
+    STATIC bucketed sizes, remapping the index matrices.
+
+    Returns ``(news, news2, hist_local, cand_local)`` where ``news2`` may be
+    None (no split worthwhile).  Exactness: padding-token embeddings are hard
+    zeros (``components/embedding.py``), so slicing trailing all-pad title
+    columns leaves attention (masked keys) and SAME-padded CNN outputs
+    bit-identical; see ``RecBatch.news2``.  The tail size is bucketed to
+    {u/8, u/4, u/2} (≥ ``min_tail``) so XLA sees a bounded set of shapes.
+
+    This is the round-3 answer to the measured train-step breakdown
+    (``docs/architecture.md``): the step is news-encoder bound and its cost
+    tracks U×L, while real/statfix titles average ~11 of the padded 30.
+
+    ``margin``: rows count as short only when ``len <= split_title_len -
+    margin``.  Attention and SAME-padded-CNN encoders are exact at margin 0;
+    KCNN (DKN) VALID-convs max-pool over windows that straddle/exceed the
+    title, so it needs ``margin >= max(window)`` (models declare this via a
+    ``TITLE_SPLIT_MARGIN`` class attribute read by ``train.py``/serving).
+    """
+    title = news.title
+    u, l_full = title.shape
+    if l_full <= split_title_len:
+        return news, None, hist_local, cand_local
+    lens = news.title_mask.sum(axis=1)
+    n_long = int(np.sum(lens > split_title_len - margin))
+    if n_long > u // 2:  # mostly long titles: splitting buys nothing
+        return news, None, hist_local, cand_local
+    order = np.argsort(lens, kind="stable")  # pad article (len 0) stays row 0
+    rank = np.empty(u, dtype=np.int32)
+    rank[order] = np.arange(u, dtype=np.int32)
+    news = type(news)(
+        **{k: (None if v is None else v[order]) for k, v in news._asdict().items()}
+    )
+    hist_local = rank[hist_local]
+    cand_local = rank[cand_local]
+    if n_long == 0:
+        return (
+            news._replace(
+                title=news.title[:, :split_title_len],
+                title_mask=news.title_mask[:, :split_title_len],
+            ),
+            None,
+            hist_local,
+            cand_local,
+        )
+    choices = sorted({max(min_tail, u // 8), u // 4, u // 2})
+    u2 = next(c for c in choices if c >= n_long)
+    u1 = u - u2
+
+    def rows(seg_slice, trim):
+        d = {}
+        for k, v in news._asdict().items():
+            if v is None:
+                d[k] = None
+            elif trim and k in ("title", "title_mask"):
+                d[k] = v[seg_slice, :split_title_len]
+            else:
+                d[k] = v[seg_slice]
+        return type(news)(**d)
+
+    return rows(slice(0, u1), True), rows(slice(u1, u), False), hist_local, cand_local
+
+
 def _dedup(
     store: NewsStore,
     hist_idx: np.ndarray,  # (B, H) store rows
     cand_idx: np.ndarray,  # (B, C) store rows
     u_bucket_min: int = 128,
+    split_title_len: Optional[int] = None,
+    split_margin: int = 0,
 ) -> Tuple:
-    """Map store-row indices to a per-batch unique table (row 0 = pad)."""
+    """Map store-row indices to a per-batch unique table (row 0 = pad).
+
+    Returns ``(news, news2, hist_local, cand_local)``; ``news2`` is the
+    long-title tail segment when ``split_title_len`` triggers (else None).
+    """
     all_rows = np.concatenate([hist_idx.ravel(), cand_idx.ravel()])
     unique = np.unique(all_rows)
     if unique.size == 0 or unique[0] != 0:
@@ -156,7 +235,11 @@ def _dedup(
     hist_local = np.searchsorted(unique, hist_idx).astype(np.int32)
     cand_local = np.searchsorted(unique, cand_idx).astype(np.int32)
     news = store.features_for(padded_unique)
-    return news, hist_local, cand_local
+    if split_title_len is not None:
+        return split_news_by_length(
+            news, hist_local, cand_local, split_title_len, margin=split_margin
+        )
+    return news, None, hist_local, cand_local
 
 
 class TrainBatcher:
@@ -174,6 +257,8 @@ class TrainBatcher:
         drop_last: bool = True,
         global_rows: bool = False,
         num_steps: Optional[int] = None,
+        split_title_len: Optional[int] = None,
+        split_margin: int = 0,
     ):
         """``global_rows=True`` emits batches with ``news=None`` and GLOBAL
         store-row indices (no host-side dedup); the jitted train step dedups
@@ -192,6 +277,8 @@ class TrainBatcher:
         self.drop_last = drop_last
         self.global_rows = global_rows
         self.num_steps = num_steps
+        self.split_title_len = split_title_len
+        self.split_margin = split_margin
         # explode: one training sample per positive (vectorized over the CSR)
         pos_flat = np.nonzero(impressions.labels_flat)[0]
         self.sample_imp = (
@@ -286,8 +373,9 @@ class TrainBatcher:
                     impression_valid=valid,
                 )
                 continue
-            news, hist_local, cand_local = _dedup(
-                self.store, hist_idx, cand_idx, self.u_bucket_min
+            news, news2, hist_local, cand_local = _dedup(
+                self.store, hist_idx, cand_idx, self.u_bucket_min,
+                self.split_title_len, self.split_margin,
             )
             yield RecBatch(
                 news=news,
@@ -298,6 +386,7 @@ class TrainBatcher:
                 labels=labels,
                 user_idx=user_idx,
                 impression_valid=valid,
+                news2=news2,
             )
 
 
@@ -314,12 +403,16 @@ class EvalBatcher:
         max_cand_bucket: int = 512,
         u_bucket_min: int = 512,
         batch_multiple: int = 1,
+        split_title_len: Optional[int] = None,
+        split_margin: int = 0,
     ):
         self.store = store
         self.imp = impressions
         self.max_history_len = max_history_len
         self.target_cells = target_cells
         self.u_bucket_min = u_bucket_min
+        self.split_title_len = split_title_len
+        self.split_margin = split_margin
         self._assembler = _BucketedAssembler(
             impressions, max_history_len, target_cells, min_cand_bucket,
             max_cand_bucket, batch_multiple=batch_multiple,
@@ -328,10 +421,13 @@ class EvalBatcher:
     def __iter__(self) -> Iterator[RecBatch]:
         for raw in self._assembler:
             hist_idx, cand_idx = raw.hist_idx, raw.cand_idx
-            news, hist_local, cand_local = _dedup(
-                self.store, hist_idx, cand_idx, self.u_bucket_min
+            news, news2, hist_local, cand_local = _dedup(
+                self.store, hist_idx, cand_idx, self.u_bucket_min,
+                self.split_title_len, self.split_margin,
             )
-            yield raw._replace(news=news, hist_idx=hist_local, cand_idx=cand_local)
+            yield raw._replace(
+                news=news, hist_idx=hist_local, cand_idx=cand_local, news2=news2
+            )
 
     def num_impressions(self) -> int:
         return len(self.imp)

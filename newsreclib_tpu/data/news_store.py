@@ -66,6 +66,37 @@ class NewsStore:
             ),
         )
 
+    def trim_titles(self, margin: int = 0, multiple: int = 8) -> "NewsStore":
+        """Slice the title/abstract matrices to the corpus max token length
+        rounded up to ``multiple`` (plus ``margin`` columns of headroom for
+        VALID-conv encoders — ``DKN.TITLE_SPLIT_MARGIN``).
+
+        The reference pads every title to the configured ``max_title_len``
+        (``rec_dataset.py:170-178``); when the corpus max is shorter (e.g.
+        the statfix fixture's 14-token titles vs the canonical 30), every
+        encoder pays for pure padding.  Trimming is numerically exact:
+        padding-token embeddings are hard zeros (``components/embedding.py``)
+        and masked attention / SAME-padded convs ignore trailing pad columns.
+        """
+
+        def width(arr, extra):
+            lens = (arr != 0).sum(axis=1)
+            need = (int(lens.max()) if arr.shape[0] else 0) + extra
+            w = max(multiple, -(-need // multiple) * multiple)
+            return min(w, arr.shape[1])
+
+        t_w = width(self.title, margin)
+        a_w = None if self.abstract is None else width(self.abstract, 0)
+        if t_w == self.title.shape[1] and (a_w is None or a_w == self.abstract.shape[1]):
+            return self
+        from dataclasses import replace
+
+        return replace(
+            self,
+            title=self.title[:, :t_w],
+            abstract=None if self.abstract is None else self.abstract[:, :a_w],
+        )
+
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         arrays = {

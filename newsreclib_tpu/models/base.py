@@ -31,6 +31,57 @@ def gather_news(news_vecs: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(news_vecs, idx, axis=0)
 
 
+def encode_all_news(encode_fn, batch: RecBatch, deterministic: bool = True) -> jnp.ndarray:
+    """Encode the batch's unique news table → (U_total, D) vectors.
+
+    Length-bucketed batches (``RecBatch.news2``) carry the table as two row
+    segments — the short-title majority at the narrow padded width and the
+    long tail at full width (``data/batching.py::split_news_by_length``).
+    Each segment is a complete ``NewsFeatures``, so the model's
+    ``encode_news`` runs unchanged per segment (flax reuses the same
+    parameters across both calls); concatenating rows reconstitutes the table
+    in the order ``hist_idx``/``cand_idx`` address.
+    """
+    vecs = encode_fn(batch.news, deterministic)
+    if batch.news2 is not None:
+        vecs = jnp.concatenate(
+            [vecs, encode_fn(batch.news2, deterministic)], axis=0
+        )
+    return vecs
+
+
+def news_field(batch: RecBatch, name: str) -> jnp.ndarray:
+    """A per-row news feature over the FULL unique table (both segments)."""
+    v = getattr(batch.news, name)
+    if batch.news2 is None:
+        return v
+    return jnp.concatenate([v, getattr(batch.news2, name)], axis=0)
+
+
+def news_valid(batch: RecBatch) -> jnp.ndarray:
+    """(U_total,) bool — row holds a real article (any title token)."""
+    v = jnp.any(batch.news.title_mask, axis=-1)
+    if batch.news2 is not None:
+        v = jnp.concatenate([v, jnp.any(batch.news2.title_mask, axis=-1)], axis=0)
+    return v
+
+
+def full_title_tokens(batch: RecBatch) -> tuple:
+    """(U_total, L_full) title tokens + mask — for per-occurrence encoders
+    (NPA gathers raw tokens per history/candidate slot, so it needs one
+    full-width view; the short segment is re-padded with zero columns, which
+    is exactly what the store held before slicing)."""
+    t, m = batch.news.title, batch.news.title_mask
+    if batch.news2 is None:
+        return t, m
+    l_full = batch.news2.title.shape[1]
+    pad = ((0, 0), (0, l_full - t.shape[1]))
+    return (
+        jnp.concatenate([jnp.pad(t, pad), batch.news2.title], axis=0),
+        jnp.concatenate([jnp.pad(m, pad), batch.news2.title_mask], axis=0),
+    )
+
+
 def late_fusion_user(hist_vecs: jnp.ndarray, hist_mask: jnp.ndarray) -> jnp.ndarray:
     """Mean over valid clicked-news vectors (``nrms_module.py:239-248``)."""
     m = hist_mask.astype(hist_vecs.dtype)

@@ -121,6 +121,16 @@ def splice_plm_params(params, ported):
     return replaced
 
 
+def title_split_margin(model_name: str) -> int:
+    """Title headroom the model needs for exact length-trim/split batching
+    (``data/batching.py::split_news_by_length``): DKN's KCNN max-pools over
+    VALID-conv windows that straddle/exceed the title, everything else is
+    masked-attention / SAME-conv and exact at 0."""
+    from newsreclib_tpu.models.general_rec import DKN
+
+    return DKN.TITLE_SPLIT_MARGIN if model_name == "dkn" else 0
+
+
 def build_model(cfg: Dict, info: DataInfo):
     """cfg: the ``model`` config node (must carry ``name``)."""
     global _pending_plm_params

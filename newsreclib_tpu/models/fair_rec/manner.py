@@ -27,7 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from newsreclib_tpu.data.batch import NewsBatch, NewsFeatures, RecBatch
-from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.base import (
+    ModelOutput,
+    encode_all_news,
+    gather_news,
+    late_fusion_user,
+    news_field,
+)
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.news import EntityAddAtt
 from newsreclib_tpu.models.components.text import MHSAAddAtt
@@ -126,7 +132,7 @@ class MANNeRCR(nn.Module):
 
     @nn.compact
     def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = MANNeRNewsEncoder(
+        news_encoder = MANNeRNewsEncoder(
             vocab_size=self.vocab_size,
             entity_vocab_size=self.entity_vocab_size,
             use_entities=self.use_entities,
@@ -139,7 +145,8 @@ class MANNeRCR(nn.Module):
             pretrained_entity_embeddings=self.pretrained_entity_embeddings,
             text_encoder_module=self.text_encoder_module,
             name="news_encoder",
-        )(batch.news, deterministic)
+        )
+        news_vecs = encode_all_news(news_encoder, batch, deterministic)
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)
         if self.late_fusion:
@@ -243,6 +250,11 @@ def manner_ensemble_scores(
 def aspect_module_scores(a_apply, a_params, batch: RecBatch) -> jnp.ndarray:
     """Late-fusion dot-product scores from an A-module embedding space."""
     news_vecs = a_apply({"params": a_params}, batch.news, deterministic=True)
+    if batch.news2 is not None:
+        news_vecs = jnp.concatenate(
+            [news_vecs, a_apply({"params": a_params}, batch.news2, deterministic=True)],
+            axis=0,
+        )
     hist = gather_news(news_vecs, batch.hist_idx)
     cand = gather_news(news_vecs, batch.cand_idx)
     user = late_fusion_user(hist, batch.hist_mask)
@@ -280,11 +292,13 @@ def evaluate_ensemble(
         fused = mask_scores(fused, batch.cand_mask)
         kwargs = {}
         if batch.news.category is not None:
-            kwargs["cand_categories"] = jnp.take(batch.news.category, batch.cand_idx, axis=0)
-            kwargs["hist_categories"] = jnp.take(batch.news.category, batch.hist_idx, axis=0)
+            categ = news_field(batch, "category")
+            kwargs["cand_categories"] = jnp.take(categ, batch.cand_idx, axis=0)
+            kwargs["hist_categories"] = jnp.take(categ, batch.hist_idx, axis=0)
         if batch.news.sentiment is not None:
-            kwargs["cand_sentiments"] = jnp.take(batch.news.sentiment, batch.cand_idx, axis=0)
-            kwargs["hist_sentiments"] = jnp.take(batch.news.sentiment, batch.hist_idx, axis=0)
+            sent = news_field(batch, "sentiment")
+            kwargs["cand_sentiments"] = jnp.take(sent, batch.cand_idx, axis=0)
+            kwargs["hist_sentiments"] = jnp.take(sent, batch.hist_idx, axis=0)
         if kwargs:
             kwargs["hist_mask"] = batch.hist_mask
         per_imp = ranking.per_impression(fused, batch.labels, batch.cand_mask, **kwargs)

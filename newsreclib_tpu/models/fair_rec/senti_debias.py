@@ -25,7 +25,14 @@ import numpy as np
 import optax
 
 from newsreclib_tpu.data.batch import RecBatch
-from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.base import (
+    ModelOutput,
+    encode_all_news,
+    gather_news,
+    late_fusion_user,
+    news_field,
+    news_valid,
+)
 from newsreclib_tpu.models.components.category import SentimentEncoder
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.losses import cross_entropy_loss
@@ -69,7 +76,11 @@ class SentiDebiasGenerator(nn.Module):
             pretrained=self.pretrained_embeddings,
             name="news_encoder",
         )
-        news_vecs = news_encoder(batch.news.title, batch.news.title_mask, deterministic)
+        news_vecs = encode_all_news(
+            lambda news, det: news_encoder(news.title, news.title_mask, det),
+            batch,
+            deterministic,
+        )
         # the sentiment tower must emit the same dim as the news tower: the
         # bias-aware head dots user_aware (from sent vectors) with cand_sent
         news_dim = (
@@ -80,7 +91,7 @@ class SentiDebiasGenerator(nn.Module):
             sent_embed_dim=self.sent_embed_dim,
             sent_output_dim=news_dim,
             name="sentiment_encoder",
-        )(batch.news.sentiment)
+        )(news_field(batch, "sentiment"))
 
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)
@@ -98,10 +109,10 @@ class SentiDebiasGenerator(nn.Module):
             user_aware = user_encoder(hist_sent, batch.hist_mask, deterministic)
 
         # orthogonality regularizers over unique news + user vectors
-        news_valid = jnp.any(batch.news.title_mask, axis=-1).astype(jnp.float32)
-        orth_news = jnp.sum(_abs_cos(news_vecs, sent_vecs) * news_valid) / jnp.maximum(
-            jnp.sum(news_valid), 1.0
-        )
+        news_valid_f = news_valid(batch).astype(jnp.float32)
+        orth_news = jnp.sum(
+            _abs_cos(news_vecs, sent_vecs) * news_valid_f
+        ) / jnp.maximum(jnp.sum(news_valid_f), 1.0)
         orth_user = jnp.mean(_abs_cos(user_free, user_aware))
         loss_orth = 2.0 * orth_news + orth_user  # hist+cand news terms → unique news
 
@@ -112,8 +123,8 @@ class SentiDebiasGenerator(nn.Module):
             "bias_free_scores": bias_free_scores,
             "loss_orth": loss_orth,
             "news_vecs": news_vecs,
-            "news_valid": news_valid,
-            "news_sentiments": batch.news.sentiment,
+            "news_valid": news_valid_f,
+            "news_sentiments": news_field(batch, "sentiment"),
         }
 
     def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:

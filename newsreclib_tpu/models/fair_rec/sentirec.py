@@ -26,7 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
-from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.base import (
+    ModelOutput,
+    encode_all_news,
+    gather_news,
+    late_fusion_user,
+    news_field,
+    news_valid,
+)
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.text import MHSAAddAtt
 from newsreclib_tpu.models.components.user import NRMSUserEncoder
@@ -80,18 +87,19 @@ class SentiRec(nn.Module):
         return dot_product_scores(user, cand)
 
     def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = self.encode_news(batch.news, deterministic)
+        news_vecs = encode_all_news(self.encode_news, batch, deterministic)
         scores = self.score_with_vectors(batch, news_vecs, deterministic)
 
         # sentiment regression head over unique news (each article once)
         pred_sent = self.sent_predictor(news_vecs)[..., 0]
-        news_valid = jnp.any(batch.news.title_mask, axis=-1).astype(jnp.float32)
-        l1 = jnp.abs(pred_sent - batch.news.sentiment_score) * news_valid
-        sent_pred_loss = jnp.sum(l1) / jnp.maximum(jnp.sum(news_valid), 1.0)
+        valid = news_valid(batch).astype(jnp.float32)
+        sent_score = news_field(batch, "sentiment_score")
+        l1 = jnp.abs(pred_sent - sent_score) * valid
+        sent_pred_loss = jnp.sum(l1) / jnp.maximum(jnp.sum(valid), 1.0)
 
         # sentiment-diversity regularization
-        hist_sent = jnp.take(batch.news.sentiment_score, batch.hist_idx, axis=0)
-        cand_sent = jnp.take(batch.news.sentiment_score, batch.cand_idx, axis=0)
+        hist_sent = jnp.take(sent_score, batch.hist_idx, axis=0)
+        cand_sent = jnp.take(sent_score, batch.cand_idx, axis=0)
         hm = batch.hist_mask.astype(jnp.float32)
         user_mean_sent = jnp.sum(hist_sent * hm, axis=1) / jnp.maximum(
             jnp.sum(hm, axis=1), 1.0

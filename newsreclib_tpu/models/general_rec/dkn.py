@@ -16,13 +16,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
-from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.base import (
+    ModelOutput,
+    encode_all_news,
+    gather_news,
+    late_fusion_user,
+)
 from newsreclib_tpu.models.components.click import DNNPredictor, dot_product_scores
 from newsreclib_tpu.models.components.news import KCNN
 from newsreclib_tpu.models.components.user import DKNUserEncoder
 
 
 class DKN(nn.Module):
+    # KCNN VALID-convs max-pool over windows that straddle/exceed the title,
+    # so length-split batches need this much title headroom to stay exact
+    # (data/batching.py::split_news_by_length)
+    TITLE_SPLIT_MARGIN = 4
+
     vocab_size: int
     entity_vocab_size: int
     text_embed_dim: int = 300
@@ -72,5 +82,5 @@ class DKN(nn.Module):
         return jnp.where(batch.cand_mask, scores, 0.0)
 
     def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = self.encode_news(batch.news, deterministic)
+        news_vecs = encode_all_news(self.encode_news, batch, deterministic)
         return self.score_with_vectors(batch, news_vecs, deterministic), {}

@@ -24,7 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
-from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.base import (
+    ModelOutput,
+    encode_all_news,
+    gather_news,
+    late_fusion_user,
+    news_field,
+)
 from newsreclib_tpu.models.components.attention import PolyAttention, TargetAwareAttention
 from newsreclib_tpu.models.components.category import LinearEncoder
 from newsreclib_tpu.models.components.click import dot_product_scores
@@ -111,7 +117,7 @@ class MINER(nn.Module):
         if self.use_categ_bias:
             if categ_vecs is None and batch.news is not None:
                 categ_vecs = self.encode_categories(
-                    batch.news.category, deterministic
+                    news_field(batch, "category"), deterministic
                 )
             if categ_vecs is not None:
                 hist_categ = gather_news(categ_vecs, batch.hist_idx)
@@ -139,7 +145,7 @@ class MINER(nn.Module):
         return self._score_and_user(batch, news_vecs, deterministic, categ_vecs)[0]
 
     def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = self.encode_news(batch.news, deterministic)
+        news_vecs = encode_all_news(self.encode_news, batch, deterministic)
         scores, user = self._score_and_user(batch, news_vecs, deterministic)
         disagreement = jnp.mean(
             pairwise_cosine_similarity(user, user, zero_diagonal=True)

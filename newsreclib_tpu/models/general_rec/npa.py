@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from newsreclib_tpu.data.batch import RecBatch
-from newsreclib_tpu.models.base import ModelOutput, late_fusion_user
+from newsreclib_tpu.models.base import ModelOutput, full_title_tokens, late_fusion_user
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.projection import UserProjection
 from newsreclib_tpu.models.components.text import CNNPersAtt
@@ -60,9 +60,13 @@ class NPA(nn.Module):
         )
 
         # per-slot token gather: (B, X, L) — user-conditioned, no dedup
+        # (length-bucketed batches are re-joined to one full-width view;
+        # NPA encodes per occurrence, so the table layout is irrelevant)
+        all_titles, all_title_masks = full_title_tokens(batch)
+
         def encode_slots(idx):
-            tokens = jnp.take(batch.news.title, idx, axis=0)  # (B, X, L)
-            mask = jnp.take(batch.news.title_mask, idx, axis=0)
+            tokens = jnp.take(all_titles, idx, axis=0)  # (B, X, L)
+            mask = jnp.take(all_title_masks, idx, axis=0)
             x = idx.shape[1]
             flat_tokens = tokens.reshape(b * x, -1)
             flat_mask = mask.reshape(b * x, -1)

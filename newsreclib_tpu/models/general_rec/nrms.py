@@ -22,7 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
-from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.base import (
+    ModelOutput,
+    encode_all_news,
+    gather_news,
+    late_fusion_user,
+)
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.text import MHSAAddAtt
 from newsreclib_tpu.models.components.user import NRMSUserEncoder
@@ -74,5 +79,5 @@ class NRMS(nn.Module):
         return dot_product_scores(user, cand)
 
     def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = self.encode_news(batch.news, deterministic)
+        news_vecs = encode_all_news(self.encode_news, batch, deterministic)
         return self.score_with_vectors(batch, news_vecs, deterministic), {}

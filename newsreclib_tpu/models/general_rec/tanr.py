@@ -20,7 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
-from newsreclib_tpu.models.base import ModelOutput, gather_news, late_fusion_user
+from newsreclib_tpu.models.base import (
+    ModelOutput,
+    encode_all_news,
+    gather_news,
+    late_fusion_user,
+    news_field,
+    news_valid,
+)
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.text import CNNAddAtt
 from newsreclib_tpu.models.components.user import NRMSUserEncoder
@@ -73,15 +80,15 @@ class TANR(nn.Module):
         return dot_product_scores(user, cand)
 
     def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_vecs = self.encode_news(batch.news, deterministic)
+        news_vecs = encode_all_news(self.encode_news, batch, deterministic)
         scores = self.score_with_vectors(batch, news_vecs, deterministic)
 
         # auxiliary topic classification over unique news (valid rows only)
         topic_logits = self.topic_predictor(news_vecs)
-        news_valid = jnp.any(batch.news.title_mask, axis=-1)
+        valid = news_valid(batch)
         log_probs = nn.log_softmax(topic_logits, axis=-1)
-        onehot = jax.nn.one_hot(batch.news.category, self.num_categories)
+        onehot = jax.nn.one_hot(news_field(batch, "category"), self.num_categories)
         ce = -jnp.sum(onehot * log_probs, axis=-1)
-        v = news_valid.astype(jnp.float32)
+        v = valid.astype(jnp.float32)
         topic_loss = jnp.sum(ce * v) / jnp.maximum(jnp.sum(v), 1.0)
         return scores, {"topic_loss": self.topic_pred_loss_coef * topic_loss}

@@ -130,7 +130,12 @@ def shard_batch(batch, mesh: Mesh):
                 "Trainer(corpus=..., u_bucket=...)"
             )
         news = jax.tree.map(lambda x: place(x, repl), batch.news)
-        rest = jax.tree.map(lambda x: place(x, data_s), batch._replace(news=None)._asdict())
+        news2 = jax.tree.map(lambda x: place(x, repl), batch.news2)
+        rest = jax.tree.map(
+            lambda x: place(x, data_s),
+            batch._replace(news=None, news2=None)._asdict(),
+        )
         rest["news"] = news
+        rest["news2"] = news2
         return RecBatch(**rest)
     return jax.tree.map(lambda x: place(x, data_s), batch)

@@ -124,6 +124,7 @@ def build_news_vector_table(
     batch_size: int = 4096,
     dtype=jnp.float32,
     mesh=None,
+    split_title_len: Optional[int] = 16,
 ) -> jnp.ndarray:
     """Encode the whole corpus once → (N+1, D) device table (row 0 zero).
 
@@ -131,6 +132,14 @@ def build_news_vector_table(
     a 500k-article f32 table is ~600MB of tunnel traffic if it does), and the
     whole corpus is encoded in ONE dispatch (lax.scan over chunks: per-chunk
     dispatch costs ~30ms RTT each on the tunnel-attached TPU).
+
+    ``split_title_len``: length-bucketed corpus encode — short-title rows
+    (the large majority on MIND-like corpora; avg ~11 of the padded 30) are
+    encoded in chunks whose title columns are sliced to this width, long
+    rows at full width, and the results scattered back into row order.
+    Numerically exact for the same reason as
+    ``data/batching.py::split_news_by_length`` (hard-zero pad embeddings);
+    models declaring ``TITLE_SPLIT_MARGIN`` (DKN/KCNN) get their headroom.
 
     The corpus token arrays are static across parameter versions, so the
     device copy is cached per (store, batch_size); only the encode re-runs
@@ -140,29 +149,70 @@ def build_news_vector_table(
         # encode chunks shard over the data axis → chunk must divide it
         mult = int(mesh.shape.get("data", 1))
         batch_size = -(-batch_size // mult) * mult
-    key = (id(store), batch_size, None if mesh is None else id(mesh))
+    margin = getattr(model, "TITLE_SPLIT_MARGIN", 0)
+    l_full = store.title.shape[1]
+    split = (
+        split_title_len
+        if split_title_len is not None and l_full > split_title_len
+        else None
+    )
+    key = (id(store), batch_size, None if mesh is None else id(mesh), split)
     hit = _CORPUS_FEATS_CACHE.get(key)
     if hit is None:
-        n_chunks = max(1, -(-n // batch_size))
-        rows = np.zeros(n_chunks * batch_size, dtype=np.int64)
-        rows[:n] = np.arange(n)
-        feats = lean_news(store.features_for(rows))
-        stacked = jax.tree.map(
-            lambda x: x.reshape(n_chunks, batch_size, *x.shape[1:]), feats
-        )
+
+        def stack_rows(rows, title_width):
+            n_chunks = max(1, -(-len(rows) // batch_size))
+            padded = np.zeros(n_chunks * batch_size, dtype=np.int64)
+            padded[: len(rows)] = rows
+            feats = store.features_for(padded)
+            if title_width < l_full:
+                feats = feats._replace(
+                    title=feats.title[:, :title_width],
+                    title_mask=feats.title_mask[:, :title_width],
+                )
+            feats = lean_news(feats)
+            return jax.tree.map(
+                lambda x: x.reshape(n_chunks, batch_size, *x.shape[1:]), feats
+            )
+
+        parts = []  # [(row_ids, stacked_features), ...]
+        if split is not None:
+            lens = (store.title != 0).sum(axis=1)
+            short_rows = np.nonzero(lens <= split - margin)[0]
+            long_rows = np.nonzero(lens > split - margin)[0]
+            if len(short_rows) >= batch_size and len(short_rows) >= n // 4:
+                parts.append((short_rows, stack_rows(short_rows, split)))
+                if len(long_rows):
+                    parts.append((long_rows, stack_rows(long_rows, l_full)))
+        if not parts:
+            parts.append((np.arange(n), stack_rows(np.arange(n), l_full)))
         if mesh is not None:
             # data-parallel encode: shard the chunk dim over the data axis
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sh = NamedSharding(mesh, P(None, "data"))
-            stacked = jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+            parts = [
+                (r, jax.tree.map(lambda x: jax.device_put(x, sh), st))
+                for r, st in parts
+            ]
         else:
-            stacked = jax.device_put(stacked)
+            parts = [(r, jax.device_put(st)) for r, st in parts]
         # the store reference pins id(store) while cached
-        hit = (store, stacked)
+        hit = (store, parts)
         _cache_put(_CORPUS_FEATS_CACHE, key, hit)
-    out = _scan_encode_fn(model)(params, hit[1])  # (n_chunks, chunk, D)
-    table = out.reshape(-1, out.shape[-1])[:n].astype(dtype)
+    encode = _scan_encode_fn(model)
+    if len(hit[1]) == 1:
+        out = encode(params, hit[1][0][1])  # (n_chunks, chunk, D)
+        table = out.reshape(-1, out.shape[-1])[:n].astype(dtype)
+    else:
+        outs = []
+        for rows, st in hit[1]:
+            out = encode(params, st)  # (n_chunks, chunk, D)
+            outs.append((rows, out.reshape(-1, out.shape[-1])[: len(rows)]))
+        d = outs[0][1].shape[-1]
+        table = jnp.zeros((n, d), dtype)
+        for rows, vecs in outs:
+            table = table.at[jnp.asarray(rows)].set(vecs.astype(dtype))
     table = table.at[0].set(0.0)
     if mesh is not None:
         # re-replicate (one all-gather): downstream scoring gathers arbitrary
@@ -210,11 +260,13 @@ class CachedScorer:
         loss_fn: Optional[Callable] = None,
         mesh=None,
         compute_dtype: Optional[str] = None,
+        split_title_len: Optional[int] = 16,
     ):
         self.model = model
         self.ranking = ranking or RankingMetrics()
         self.loss_fn = loss_fn
         self.mesh = mesh
+        self.split_title_len = split_title_len
         # bf16 serving: params + news-vector table in bf16, metrics f32
         self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
         self._group_cache: Dict[tuple, tuple] = {}
@@ -298,6 +350,7 @@ class CachedScorer:
         table = build_news_vector_table(
             self.model, params, store, encode_batch, mesh=self.mesh,
             dtype=self.compute_dtype or jnp.float32,
+            split_title_len=self.split_title_len,
         )
         categ = None if store.category is None else jnp.asarray(store.category)
         sent = None if store.sentiment is None else jnp.asarray(store.sentiment)
@@ -403,6 +456,7 @@ class CachedScorer:
         table = build_news_vector_table(
             self.model, params, store, encode_batch, mesh=self.mesh,
             dtype=self.compute_dtype or jnp.float32,
+            split_title_len=self.split_title_len,
         )
         score_fn = jax.jit(
             lambda p, b, t: self.model.apply(

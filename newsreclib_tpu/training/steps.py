@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from newsreclib_tpu.data.batch import NewsFeatures, RecBatch, densify
-from newsreclib_tpu.models.base import mask_scores
+from newsreclib_tpu.models.base import mask_scores, news_field
 from newsreclib_tpu.metrics.collector import RankingMetrics
 from newsreclib_tpu.training.state import TrainState
 
@@ -114,11 +114,13 @@ def make_eval_step(
         )
         kwargs = {}
         if with_aspects and batch.news.category is not None:
-            kwargs["cand_categories"] = jnp.take(batch.news.category, batch.cand_idx, axis=0)
-            kwargs["hist_categories"] = jnp.take(batch.news.category, batch.hist_idx, axis=0)
+            categ = news_field(batch, "category")
+            kwargs["cand_categories"] = jnp.take(categ, batch.cand_idx, axis=0)
+            kwargs["hist_categories"] = jnp.take(categ, batch.hist_idx, axis=0)
         if with_aspects and batch.news.sentiment is not None:
-            kwargs["cand_sentiments"] = jnp.take(batch.news.sentiment, batch.cand_idx, axis=0)
-            kwargs["hist_sentiments"] = jnp.take(batch.news.sentiment, batch.hist_idx, axis=0)
+            sent = news_field(batch, "sentiment")
+            kwargs["cand_sentiments"] = jnp.take(sent, batch.cand_idx, axis=0)
+            kwargs["hist_sentiments"] = jnp.take(sent, batch.hist_idx, axis=0)
         if kwargs:
             kwargs["hist_mask"] = batch.hist_mask
         per_imp = ranking.per_impression(scores, batch.labels, batch.cand_mask, **kwargs)

@@ -75,12 +75,18 @@ def setup_data(cfg: dict):
     if dataset not in ("mind", "xmind"):
         raise NotImplementedError(f"dataset {dataset}")
     if dc.get("generate_fixture"):
-        from newsreclib_tpu.data.testing import write_mind_fixture
-
         if not os.path.exists(
             os.path.join(dc["data_dir"], f"MIND{dc['dataset_size']}_train", "news.tsv")
         ):
-            write_mind_fixture(dc["data_dir"], dataset_size=dc["dataset_size"])
+            if dc["generate_fixture"] == "statfix":
+                # MINDsmall-scale learnable-signal fixture (PARITY.md)
+                from newsreclib_tpu.data.statfix import write_mind_small_statfix
+
+                write_mind_small_statfix(dc["data_dir"], seed=dc.get("seed", 42))
+            else:
+                from newsreclib_tpu.data.testing import write_mind_fixture
+
+                write_mind_fixture(dc["data_dir"], dataset_size=dc["dataset_size"])
     mind_cfg = MINDConfig(
         data_dir=dc["data_dir"],
         dataset_size=dc["dataset_size"],
@@ -254,7 +260,10 @@ def run(cfg: dict) -> dict:
 
     mind = setup_data(cfg)
     # force ETL early (reference train.py:56-58 forces prepare_data)
-    store_train = mind.news_store("train")
+    from newsreclib_tpu.models.factory import title_split_margin
+
+    trim_margin = title_split_margin(cfg["model"]["name"])
+    store_train = mind.news_store("train").trim_titles(margin=trim_margin)
     info = load_data_info(mind, cfg["model"])
     log.info(
         "vocab=%d users=%d categ=%d news(train)=%d",
@@ -314,11 +323,18 @@ def run(cfg: dict) -> dict:
         assert dc["batch_size"] % data_par == 0, (
             f"batch_size {dc['batch_size']} not divisible by data axis {data_par}"
         )
+    # length-bucketed unique-news tables (round 3): short-title majority
+    # encoded at the split width, long tail at full width — see
+    # data/batching.py::split_news_by_length.  data.split_title_len: null
+    # disables it.
+    split_len = dc.get("split_title_len", 16)
     batcher_kwargs = dict(
         batch_size=local_batch,
         max_history_len=dc["max_history_len"],
         neg_sampling_ratio=dc["neg_sampling_ratio"],
         u_bucket_min=dc.get("u_bucket_min", 512),
+        split_title_len=split_len,
+        split_margin=trim_margin,
     )
     train_batcher = TrainBatcher(
         store_train,
@@ -345,13 +361,18 @@ def run(cfg: dict) -> dict:
         target_cells=dc.get("eval_target_cells", 8192),
         u_bucket_min=dc.get("u_bucket_min", 512),
         batch_multiple=eval_mult,
+        split_title_len=split_len,
+        split_margin=trim_margin,
     )
     test_batcher = EvalBatcher(
-        mind.news_store("test"), mind.impressions("test"),
+        mind.news_store("test").trim_titles(margin=trim_margin),
+        mind.impressions("test"),
         max_history_len=dc["max_history_len"],
         target_cells=dc.get("eval_target_cells", 8192),
         u_bucket_min=dc.get("u_bucket_min", 512),
         batch_multiple=eval_mult,
+        split_title_len=split_len,
+        split_margin=trim_margin,
     )
 
     ranking = RankingMetrics(
