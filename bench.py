@@ -204,11 +204,32 @@ def main() -> None:
     )
 
     # ---- secondary: uncached per-batch eval (fresh unique news each batch) ----
-    eval_batch = make_batch(
-        rng, batch_size=256, hist_len=HIST, num_candidates=CANDS, unique_news=4096,
-        cfg=cfg, with_abstract=False, with_entities=False,
-    )
+    from newsreclib_tpu.data.batching import split_news_by_length
+
+    def realistic_batch(batch_size, num_candidates):
+        """make_batch with realistic title lengths (see realistic_title_lens)
+        and the production length-bucketed split applied (train.py default
+        ``data.split_title_len: 16``)."""
+        b = make_batch(
+            rng, batch_size=batch_size, hist_len=HIST,
+            num_candidates=num_candidates, unique_news=4096,
+            cfg=cfg, with_abstract=False, with_entities=False,
+        )
+        title = np.asarray(b.news.title).copy()
+        lens = realistic_title_lens(rng, title.shape[0])
+        col = np.arange(TITLE)[None, :]
+        title = np.where(col < lens[:, None], np.maximum(title, 2), 0)
+        title[0] = 0
+        b = b._replace(news=b.news._replace(title=title, title_mask=title != 0))
+        news, news2, h, c = split_news_by_length(
+            b.news, b.hist_idx, b.cand_idx, SPLIT_TITLE
+        )
+        split = b._replace(news=news, news2=news2, hist_idx=h, cand_idx=c)
+        return b, split
+
+    eval_unsplit, eval_batch = realistic_batch(256, CANDS)
     eval_batch = jax.device_put(eval_batch)
+    eval_unsplit = jax.device_put(eval_unsplit)
     eval_step = make_eval_step(compute_dtype="bfloat16")
     jax.block_until_ready(eval_step(state, eval_batch))
     dt = timeit_pipelined(eval_step, state, eval_batch, steps=20)
@@ -225,15 +246,15 @@ def main() -> None:
             return float("nan")
 
     eval_mfu = mfu_of(eval_step, (state, eval_batch), dt, peak=197e12)
+    jax.block_until_ready(eval_step(state, eval_unsplit))
+    dt_u = timeit_pipelined(eval_step, state, eval_unsplit, steps=20)
     log(f"uncached eval step: {dt*1e3:.2f} ms ({256/dt:.0f} impressions/s/chip, "
-        f"MFU {eval_mfu*100:.1f}%)")
+        f"MFU {eval_mfu*100:.1f}%); unsplit L=30: {dt_u*1e3:.2f} ms")
 
     # ---- secondary: train step ----
-    train_batch = make_batch(
-        rng, batch_size=256, hist_len=HIST, num_candidates=5, unique_news=4096,
-        cfg=cfg, with_abstract=False, with_entities=False,
-    )
+    train_unsplit, train_batch = realistic_batch(256, 5)
     train_batch = jax.device_put(train_batch)
+    train_unsplit = jax.device_put(train_unsplit)
     tstep = make_train_step(
         get_loss_fn("cross_entropy_loss"), donate=False, compute_dtype="bfloat16"
     )
@@ -243,8 +264,11 @@ def main() -> None:
     train_mfu = mfu_of(
         lambda s, b: tstep(s, b)[1]["loss"], (state, train_batch), tdt, peak=197e12
     )
+    tdt_u = timeit_pipelined(
+        lambda s, b: tstep(s, b)[1]["loss"], state, train_unsplit, steps=10, warmup=2
+    )
     log(f"train step: {tdt*1e3:.2f} ms ({256/tdt:.0f} impressions/s/chip, "
-        f"MFU {train_mfu*100:.1f}%)")
+        f"MFU {train_mfu*100:.1f}%); unsplit L=30: {tdt_u*1e3:.2f} ms")
 
     out = {
         "metric": "impressions_scored_per_sec_per_chip",
@@ -256,6 +280,12 @@ def main() -> None:
         "train_ips": round(256 / tdt, 1),
         "uncached_eval_mfu": round(eval_mfu, 4),
         "train_mfu": round(train_mfu, 4),
+        # production length-bucketed batches vs round-2's always-L=30 layout
+        "train_ms": round(tdt * 1e3, 2),
+        "train_ms_unsplit_L30": round(tdt_u * 1e3, 2),
+        "eval_ms": round(dt * 1e3, 2),
+        "eval_ms_unsplit_L30": round(dt_u * 1e3, 2),
+        "title_len_dist": "poisson(11) clipped [4,30] (r02: uniform[5,30])",
     }
     try:
         import os

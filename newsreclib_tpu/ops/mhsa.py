@@ -46,6 +46,26 @@ per-(l,h) softmax runs over strided lane groups, which Mosaic's reshape
 rules currently make impractical.  Kept as a correct, tested reference
 kernel (interpret-mode tests + on-chip validation) and a base for a future
 layout rework.
+
+**Round-3 per-article layout study (closing the thread).**  The strided-
+lane-group obstacle CAN be sidestepped with an all-matmul formulation that
+never reshapes: per article, build K_exp (Daug, H·L) = (kᵀ @ T) ⊙ M with a
+static tile-indicator T (L, H·L) and head mask M (Daug, H·L); then
+logits = q @ K_exp, per-group softmax sums via exp(logits) @ T2 (H·L, H)
+and renormalization via @ T2ᵀ, context = p @ ((Tᵀ @ v) ⊙ Mᵀ) — six MXU
+matmuls per article, zero Mosaic reshapes/relayouts.  The bound, however,
+is the M-dim: every matmul has one operand dim pinned at L≈30 rows (padded
+to 32 of the MXU's 128), capping utilization at ~25%.  Total padded work
+is ~51 MFLOP/article → 105 GMAC at U=4096; at 25% of v5e's 98.5 TMAC/s
+that is ≥4.3 ms vs XLA's measured 8.1 ms bf16 — a ≤1.9× ceiling BEFORE
+Mosaic grid overheads (4096 grid steps; the round-2 kernel measured ~7 ms
+of pure per-step overhead at this grid size), which erase the margin.
+Packing multiple articles into the M dim needs block-diagonal K_exp, which
+reintroduces the lane-group problem.  Conclusion: at L≈30/hd=20 shapes no
+Pallas formulation clears the XLA baseline by a useful factor; the round-3
+win came from shrinking L itself (length-bucketed tables,
+``data/batching.py::split_news_by_length`` — the same 25%-utilization
+math scales DOWN the per-article work by L_short/L).
 """
 
 from __future__ import annotations
