@@ -185,3 +185,34 @@ def test_mesh_cached_eval_matches_unmeshed(tmp_path_factory):
     assert set(plain) == set(meshed)
     for k in plain:
         assert abs(plain[k] - meshed[k]) < 1e-5, k
+
+
+def test_mesh_trainer_with_split_batches():
+    """Length-bucketed batches (RecBatch.news2) over the 8-way DP mesh:
+    shard_batch must replicate BOTH news segments while data-sharding the
+    index matrices, and the trajectory must match single-device."""
+    from newsreclib_tpu.data.batching import split_news_by_length
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+    batches, cfg = _synthetic_batches(n_batches=6, batch_size=8)
+
+    def split(b):
+        news, news2, h, c = split_news_by_length(
+            b.news, b.hist_idx, b.cand_idx, 8, min_tail=8
+        )
+        return b._replace(news=news, news2=news2, hist_idx=h, cand_idx=c)
+
+    split_batches = [split(b) for b in batches]
+    assert any(b.news2 is not None for b in split_batches)
+    tc = TrainerConfig(max_epochs=1, log_every_n_steps=1000, ckpt_dir=None)
+
+    model, state1 = _nrms_state(cfg, split_batches[0])
+    t_single = Trainer(state1, cross_entropy_loss, tc)
+    out_single = t_single.train_epoch(_FixedBatcher(split_batches), 0)
+
+    _, state8 = _nrms_state(cfg, split_batches[0])
+    mesh = make_mesh(jax.devices(), model_axis=1)
+    t_mesh = Trainer(state8, cross_entropy_loss, tc, mesh=mesh, model=model)
+    out_mesh = t_mesh.train_epoch(_FixedBatcher(split_batches), 0)
+    assert abs(out_single["train/loss"] - out_mesh["train/loss"]) < 1e-5
