@@ -192,12 +192,12 @@ def main() -> None:
             best = results[-1]
         log.info("trial %d: %s -> %s=%s (best=%s)", t, params, metric, value,
                  best["value"] if best else None)
-
-    out = {"metric": metric, "mode": mode, "best": best, "trials": results}
-    out_path = sweep.get("output", "outputs/sweep_results.json")
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w") as f:
-        json.dump(out, f, indent=2)
+        # flush after EVERY trial so an interrupted sweep keeps its history
+        out = {"metric": metric, "mode": mode, "best": best, "trials": results}
+        out_path = sweep.get("output", "outputs/sweep_results.json")
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=2)
     log.info("sweep done: best %s", best)
 
 
