@@ -45,6 +45,31 @@ EXPERIMENTS = [
 TIMEOUT_S = 3600
 
 
+STALL_S = 420  # no new output for this long -> axon tunnel wedge, kill+retry
+ATTEMPTS = 3
+
+
+def _run_watched(cmd: str, log_path: str) -> int:
+    """Run ``cmd`` streaming to ``log_path``; kill -9 it if the log goes
+    quiet for STALL_S (the axon remote TPU tunnel is known to wedge
+    mid-run — stale grants / stuck compile queue; see bench.py preflight).
+    Returns the exit code, or -99 on a stall kill."""
+    with open(log_path, "ab") as out:
+        proc = subprocess.Popen(cmd, cwd=REPO, stdout=out, stderr=out)
+    t0 = time.time()
+    while True:
+        rc = proc.poll()
+        if rc is not None:
+            return rc
+        if time.time() - t0 > TIMEOUT_S or (
+            time.time() - os.path.getmtime(log_path) > STALL_S
+        ):
+            proc.kill()
+            proc.wait()
+            return -99
+        time.sleep(10)
+
+
 def run_one(exp: str, name: str, script: str = "train.py") -> dict:
     out_dir = os.path.join("outputs", f"statfix_{name}")
     marker = os.path.join(REPO, out_dir, "final_metrics.json")
@@ -52,15 +77,28 @@ def run_one(exp: str, name: str, script: str = "train.py") -> dict:
         with open(marker) as f:
             return {"experiment": exp, "skipped": True, **json.load(f)}
     t0 = time.time()
-    cmd = [sys.executable, script, f"experiment={exp}", f"output_dir={out_dir}"]
+    cmd = [sys.executable, "-u", script, f"experiment={exp}", f"output_dir={out_dir}"]
     print(f"=== {exp} -> {out_dir}", flush=True)
-    proc = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=TIMEOUT_S
-    )
-    tail = (proc.stdout + proc.stderr)[-4000:]
-    if proc.returncode != 0:
+    os.makedirs(os.path.join(REPO, out_dir), exist_ok=True)
+    log_path = os.path.join(REPO, out_dir, "run.log")
+    rc = -99
+    for attempt in range(ATTEMPTS):
+        rc = _run_watched(cmd, log_path)
+        if rc == 0:
+            break
+        print(f"attempt {attempt + 1}/{ATTEMPTS}: rc={rc} "
+              f"({'stalled' if rc == -99 else 'failed'})", flush=True)
+        if rc != -99:
+            break  # real failure: retrying won't help
+    with open(log_path, errors="replace") as f:
+        full = f.read()
+    tail = full[-4000:]
+    if rc != 0:
         print(tail, flush=True)
-        return {"experiment": exp, "error": f"rc={proc.returncode}", "tail": tail[-800:]}
+        return {"experiment": exp, "error": f"rc={rc}", "tail": tail[-800:]}
+
+    class proc:  # minimal shim for the parsing code below
+        stdout, stderr, returncode = full, "", rc
     # the final-metrics dict is logged as "final metrics: {...}"
     metrics = {}
     for line in (proc.stdout + proc.stderr).splitlines():
