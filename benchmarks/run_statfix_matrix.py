@@ -45,7 +45,9 @@ EXPERIMENTS = [
 TIMEOUT_S = 3600
 
 
-STALL_S = 420  # no new output for this long -> axon tunnel wedge, kill+retry
+STALL_S = 720  # no new output for this long -> axon tunnel wedge, kill+retry
+# (the remote compile queue has been observed to sit ~10min; with the
+# persistent compile cache a retry resumes where the last attempt died)
 ATTEMPTS = 3
 
 

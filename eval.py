@@ -26,7 +26,8 @@ from newsreclib_tpu.training.checkpoint import Checkpointer
 from newsreclib_tpu.training.loggers import make_loggers
 from newsreclib_tpu.training.state import create_train_state, make_optimizer
 from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
-from train import _maybe_force_platform, _setup_logging, setup_data
+from train import (_maybe_force_platform, _setup_compile_cache,
+                   _setup_logging, setup_data)
 
 log = logging.getLogger("newsreclib_tpu")
 
@@ -103,6 +104,7 @@ def run_manner_ensemble(cfg: dict, mind, info, out_dir: str) -> dict:
 def run(cfg: dict) -> dict:
     _setup_logging()
     _maybe_force_platform(cfg)
+    _setup_compile_cache()
     out_dir = cfg["output_dir"]
     os.makedirs(out_dir, exist_ok=True)
 

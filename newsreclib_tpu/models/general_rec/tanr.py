@@ -1,10 +1,15 @@
 """TANR — topic-aware news recommendation with an auxiliary topic classifier.
 
 Reference analog: ``newsreclib/models/general_rec/tanr_module.py`` (574
-LoC): CNNAddAtt title encoder + NRMS-style user encoder + a linear topic
-classifier over news vectors whose CE loss (vs the category label) is added
-with coefficient ``topic_pred_loss_coef`` (0.2)
-(``tanr_module.py:186-190,284,361-368``).
+LoC): CNNAddAtt title encoder + the NAML user encoder (additive attention
+only — ``tanr_module.py:18`` imports ``encoders.user.naml.UserEncoder``,
+instantiated at ``:195-196`` over ``num_filters``-dim news vectors) + a
+linear topic classifier over news vectors whose CE loss (vs the category
+label) is added with coefficient ``topic_pred_loss_coef`` (0.2)
+(``tanr_module.py:186-190,284,361-368``).  Round-3 fix: this previously
+wired the NRMS MHSA user encoder, which cannot even be constructed at the
+canonical dims (400 filters % 15 heads != 0) — exposed by the statfix
+accuracy matrix.
 
 TPU note: the topic loss runs over the batch's UNIQUE news vectors (each
 article counted once); the reference runs it per hist/cand occurrence.
@@ -30,7 +35,7 @@ from newsreclib_tpu.models.base import (
 )
 from newsreclib_tpu.models.components.click import dot_product_scores
 from newsreclib_tpu.models.components.text import CNNAddAtt
-from newsreclib_tpu.models.components.user import NRMSUserEncoder
+from newsreclib_tpu.models.components.user import NAMLUserEncoder
 
 
 class TANR(nn.Module):
@@ -60,9 +65,8 @@ class TANR(nn.Module):
             pretrained=self.pretrained_embeddings,
         )
         if not self.late_fusion:
-            self.user_encoder = NRMSUserEncoder(
-                num_heads=self.num_heads, query_dim=self.query_dim
-            )
+            # reference TANR reuses the NAML user encoder (additive att only)
+            self.user_encoder = NAMLUserEncoder(query_dim=self.query_dim)
         self.topic_predictor = nn.Dense(self.num_categories)
 
     def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:

@@ -123,6 +123,24 @@ def setup_data(cfg: dict):
     return mind
 
 
+def _setup_compile_cache() -> None:
+    """Persistent XLA compilation cache for CLI runs.
+
+    The axon remote-compile queue is erratic (observed: the same LSTUR step
+    compiling in 25s or queueing for 10+ minutes), so a killed/retried run
+    must not recompile programs it already paid for.  Also lets sequential
+    experiment runs (accuracy matrix, sweeps) share compiles.
+    """
+    cache_dir = os.environ.get(
+        "NEWSRECLIB_COMPILE_CACHE",
+        os.path.join(REPO_ROOT, ".cache", "jax_cli"),
+    )
+    if cache_dir and cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def _setup_logging() -> None:
     # force=True: the axon sitecustomize / absl may have installed handlers
     # already, which would otherwise swallow INFO records
@@ -245,6 +263,7 @@ def print_config_tree(cfg: dict, out_dir: str) -> None:
 def run(cfg: dict) -> dict:
     _setup_logging()
     _maybe_force_platform(cfg)
+    _setup_compile_cache()
     out_dir = cfg["output_dir"]
     os.makedirs(out_dir, exist_ok=True)
     print_config_tree(cfg, out_dir)
