@@ -55,35 +55,35 @@ class MINS(nn.Module):
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
         )
+        t_dim = (
+            self.text_encoder_dim
+            if self.text_encoder_module is not None
+            else self.text_embed_dim
+        )
+        # reference MINS projects categories to the text dim and combines all
+        # attribute vectors via additive attention (news dim stays t_dim) —
+        # ``mins_module.py:159-183`` (linear_transform -> text_embed_dim,
+        # combine_type="add_att").  Round-3 fix: this previously concatenated
+        # (news dim 700), which cannot feed the canonical 6-channel GRU.
         category_encoder = LinearEncoder(
             num_categories=self.num_categories,
             embed_dim=self.categ_embed_dim,
             use_dropout=False,
-            linear_transform=False,
+            linear_transform=True,
+            output_dim=t_dim,
         )
         self.news_encoder = NewsEncoder(
             attributes2encode=self.attributes2encode,
             text_encoder=text_encoder,
             category_encoder=category_encoder,
-            combine_type="concat",
+            combine_type="add_att",
+            query_dim=self.query_dim,
         )
         if not self.late_fusion:
-            t_dim = (
-                self.text_encoder_dim
-                if self.text_encoder_module is not None
-                else self.text_embed_dim
-            )
-            news_dim = t_dim * (
-                ("title" in self.attributes2encode)
-                + ("abstract" in self.attributes2encode)
-            ) + self.categ_embed_dim * (
-                ("category" in self.attributes2encode)
-                + ("subcategory" in self.attributes2encode)
-            )
             self.user_encoder = MINSUserEncoder(
-                news_embed_dim=news_dim,
+                news_embed_dim=t_dim,
                 query_dim=self.query_dim,
-                num_filters=news_dim,
+                num_filters=self.num_filters,
                 num_gru_channels=self.num_gru_channels,
             )
 

@@ -44,9 +44,11 @@ MODELS = {
         categ_embed_dim=20, news_embed_dim=48, entity_embed_dim=16, query_dim=32,
         user_vector_dim=48, num_filters=48, dense_att_hidden_dim1=32, dense_att_hidden_dim2=16,
     ),
+    # num_filters must equal the news dim (= text_embed_dim under add_att
+    # combine), as in the reference canonical config (300/300)
     "mins": lambda: zoo.MINS(
         vocab_size=VOCAB, text_embed_dim=60, categ_embed_dim=20, num_heads=6,
-        query_dim=32, num_filters=80, num_gru_channels=4,
+        query_dim=32, num_filters=60, num_gru_channels=4,
     ),
     "cen_news_rec": lambda: zoo.CenNewsRec(
         vocab_size=VOCAB, embed_dim=60, num_heads=6, num_filters=48, query_dim=32,
