@@ -42,6 +42,21 @@ def _load_yaml(path: str) -> Dict:
         return yaml.safe_load(f) or {}
 
 
+_SCI_FLOAT = re.compile(r"^[+-]?\d+(\.\d*)?[eE][+-]?\d+$")
+
+
+def _parse_override_value(val: str) -> Any:
+    """YAML-parse a CLI override value.  pyyaml implements YAML 1.1, whose
+    float grammar requires a dot before the exponent — ``lr=1e-05`` parses
+    as the STRING '1e-05' (and then reaches the optimizer as a string; a
+    TPE sweep hitting its log-uniform bound produced exactly this).  Treat
+    bare scientific notation as float."""
+    parsed = yaml.safe_load(val)
+    if isinstance(parsed, str) and _SCI_FLOAT.match(parsed):
+        return float(parsed)
+    return parsed
+
+
 def _get_path(cfg: Dict, dotted: str) -> Any:
     node: Any = cfg
     for part in dotted.split("."):
@@ -146,6 +161,6 @@ def compose(
 
     for ov in leaf_overrides:
         key, val = ov.split("=", 1)
-        _set_path(cfg, key, yaml.safe_load(val))
+        _set_path(cfg, key, _parse_override_value(val))
 
     return _resolve_interpolations(cfg)

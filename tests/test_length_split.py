@@ -201,3 +201,17 @@ def test_train_batcher_split_loss_parity():
         return out
 
     np.testing.assert_allclose(losses(None), losses(8), rtol=1e-5)
+
+
+def test_override_scientific_notation_parses_as_float():
+    """pyyaml (YAML 1.1) parses dotless scientific notation as a string;
+    compose must coerce it (a TPE sweep at its lr bound emits lr=1e-05)."""
+    import os
+    from newsreclib_tpu.config.compose import compose
+
+    root = os.path.join(os.path.dirname(__file__), "..", "newsreclib_tpu", "configs")
+    cfg = compose(root, "train", ["model.optimizer.lr=1e-05", "seed=7",
+                                  "trainer.monitor=loss"])
+    assert cfg["model"]["optimizer"]["lr"] == 1e-05
+    assert isinstance(cfg["model"]["optimizer"]["lr"], float)
+    assert cfg["trainer"]["monitor"] == "loss"
