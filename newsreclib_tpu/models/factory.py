@@ -241,7 +241,7 @@ def build_model(cfg: Dict, info: DataInfo):
             num_heads=cfg.get("num_heads", 15),
             query_dim=cfg.get("query_dim", 200),
             dropout=d,
-            num_filters=cfg.get("num_filters", 300),
+            num_filters=cfg.get("num_filters"),
             num_gru_channels=cfg.get("num_gru_channels", 6),
         )
     if name == "cen_news_rec":

@@ -38,7 +38,7 @@ class MINS(nn.Module):
     num_heads: int = 15
     query_dim: int = 200
     dropout: float = 0.2
-    num_filters: int = 300
+    num_filters: Optional[int] = None  # defaults to the news dim (= t_dim)
     num_gru_channels: int = 6
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
@@ -83,7 +83,9 @@ class MINS(nn.Module):
             self.user_encoder = MINSUserEncoder(
                 news_embed_dim=t_dim,
                 query_dim=self.query_dim,
-                num_filters=self.num_filters,
+                # the reference requires num_filters == news dim for the
+                # dot-product head (canonical config: 300/300); default to it
+                num_filters=self.num_filters or t_dim,
                 num_gru_channels=self.num_gru_channels,
             )
 
