@@ -58,6 +58,9 @@ def _run_watched(cmd: str, log_path: str) -> int:
     Returns the exit code, or -99 on a stall kill."""
     with open(log_path, "ab") as out:
         proc = subprocess.Popen(cmd, cwd=REPO, stdout=out, stderr=out)
+    # appending to a previous attempt's log leaves a STALE mtime; without
+    # this touch the stall check fires instantly
+    os.utime(log_path, None)
     t0 = time.time()
     while True:
         rc = proc.poll()
