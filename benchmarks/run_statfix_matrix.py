@@ -1,10 +1,22 @@
-"""Run the full model-family accuracy matrix on the statfix fixture (r3).
+"""Run the full model-family accuracy matrix on the statfix fixture.
 
 Sequentially trains every ``*_statfix*`` experiment on the attached TPU
 (canonical hparams, 5 epochs) and appends one JSON line per run to
-``outputs/statfix_matrix.jsonl``.  Resumable: runs whose output dir already
-holds a ``final_metrics.json`` are skipped, so the queue can be re-launched
-after interruptions.
+``outputs/statfix_matrix.jsonl``.
+
+Retry-safe layout (round 4): every attempt runs in its OWN directory
+``outputs/statfix_<name>/attempt_<k>/`` so a dead retry can never clobber a
+completed attempt's metrics/checkpoints (round 3 lost LSTUR's completed
+metrics.csv this way).  On success the runner symlinks
+``outputs/statfix_<name>/checkpoints -> attempt_<k>/checkpoints`` (dependent
+configs, e.g. the MANNeR ensemble, address checkpoints via the stable path)
+and writes the top-level ``final_metrics.json`` marker that makes the queue
+resumable.
+
+Exit-code discipline: a stall kill (no log output for STALL_S — the known
+axon-tunnel wedge) returns -99 and is retried with the persistent compile
+cache; a wall-clock TIMEOUT_S expiry returns -98 and is NOT retried (a
+genuinely slow run would just burn 3x the budget, ADVICE r3).
 
 Usage: python benchmarks/run_statfix_matrix.py [--only exp1,exp2]
 """
@@ -43,19 +55,19 @@ EXPERIMENTS = [
 ]
 
 TIMEOUT_S = 3600
-
-
 STALL_S = 720  # no new output for this long -> axon tunnel wedge, kill+retry
 # (the remote compile queue has been observed to sit ~10min; with the
 # persistent compile cache a retry resumes where the last attempt died)
 ATTEMPTS = 3
 
+RC_STALL = -99
+RC_TIMEOUT = -98
 
-def _run_watched(cmd: str, log_path: str) -> int:
-    """Run ``cmd`` streaming to ``log_path``; kill -9 it if the log goes
-    quiet for STALL_S (the axon remote TPU tunnel is known to wedge
-    mid-run — stale grants / stuck compile queue; see bench.py preflight).
-    Returns the exit code, or -99 on a stall kill."""
+
+def _run_watched(cmd: list, log_path: str) -> int:
+    """Run ``cmd`` streaming to ``log_path``; kill it if the log goes quiet
+    for STALL_S (axon tunnel wedge) or TIMEOUT_S expires.  Returns the exit
+    code, RC_STALL on a stall kill, RC_TIMEOUT on timeout."""
     with open(log_path, "ab") as out:
         proc = subprocess.Popen(cmd, cwd=REPO, stdout=out, stderr=out)
     # appending to a previous attempt's log leaves a STALE mtime; without
@@ -66,49 +78,64 @@ def _run_watched(cmd: str, log_path: str) -> int:
         rc = proc.poll()
         if rc is not None:
             return rc
-        if time.time() - t0 > TIMEOUT_S or (
-            time.time() - os.path.getmtime(log_path) > STALL_S
-        ):
+        if time.time() - t0 > TIMEOUT_S:
             proc.kill()
             proc.wait()
-            return -99
+            return RC_TIMEOUT
+        if time.time() - os.path.getmtime(log_path) > STALL_S:
+            proc.kill()
+            proc.wait()
+            return RC_STALL
         time.sleep(10)
 
 
+def _relink(link: str, target_rel: str) -> None:
+    if os.path.islink(link):
+        os.unlink(link)
+    if not os.path.exists(link):
+        os.symlink(target_rel, link)
+
+
 def run_one(exp: str, name: str, script: str = "train.py") -> dict:
-    out_dir = os.path.join("outputs", f"statfix_{name}")
-    marker = os.path.join(REPO, out_dir, "final_metrics.json")
+    base_dir = os.path.join("outputs", f"statfix_{name}")
+    abs_base = os.path.join(REPO, base_dir)
+    marker = os.path.join(abs_base, "final_metrics.json")
     if os.path.exists(marker):
         with open(marker) as f:
             return {"experiment": exp, "skipped": True, **json.load(f)}
+    os.makedirs(abs_base, exist_ok=True)
+    print(f"=== {exp} -> {base_dir}", flush=True)
     t0 = time.time()
-    cmd = [sys.executable, "-u", script, f"experiment={exp}", f"output_dir={out_dir}"]
-    print(f"=== {exp} -> {out_dir}", flush=True)
-    os.makedirs(os.path.join(REPO, out_dir), exist_ok=True)
-    log_path = os.path.join(REPO, out_dir, "run.log")
-    rc = -99
+    rc, out_dir, log_path = RC_STALL, None, None
     for attempt in range(ATTEMPTS):
+        # fresh dir per attempt: completed evidence is never overwritten
+        k = 0
+        while os.path.exists(os.path.join(abs_base, f"attempt_{k}")):
+            k += 1
+        out_dir = os.path.join(base_dir, f"attempt_{k}")
+        os.makedirs(os.path.join(REPO, out_dir))
+        log_path = os.path.join(REPO, out_dir, "run.log")
+        cmd = [sys.executable, "-u", script, f"experiment={exp}",
+               f"output_dir={out_dir}"]
         rc = _run_watched(cmd, log_path)
         if rc == 0:
             break
         print(f"attempt {attempt + 1}/{ATTEMPTS}: rc={rc} "
-              f"({'stalled' if rc == -99 else 'failed'})", flush=True)
-        if rc != -99:
-            break  # real failure: retrying won't help
+              f"({'stalled' if rc == RC_STALL else 'timeout' if rc == RC_TIMEOUT else 'failed'})",
+              flush=True)
+        if rc != RC_STALL:
+            break  # real failure or timeout: retrying won't help (ADVICE r3)
     with open(log_path, errors="replace") as f:
         full = f.read()
     tail = full[-4000:]
     if rc != 0:
         print(tail, flush=True)
-        return {"experiment": exp, "error": f"rc={rc}", "tail": tail[-800:]}
-
-    class proc:  # minimal shim for the parsing code below
-        stdout, stderr, returncode = full, "", rc
-    # the final-metrics dict is logged as "final metrics: {...}"
+        return {"experiment": exp, "error": f"rc={rc}", "out_dir": out_dir,
+                "tail": tail[-800:]}
+    # the final-metrics dict is logged as "final metrics: {...}" by train.py;
+    # eval.py (ensemble) logs "ensemble test metrics: {...}"
     metrics = {}
-    for line in (proc.stdout + proc.stderr).splitlines():
-        # train.py logs "final metrics: {...}"; eval.py (ensemble) logs
-        # "ensemble test metrics: {...}"
+    for line in full.splitlines():
         if "final metrics:" in line or "test metrics:" in line:
             line = line.replace("ensemble test metrics:", "final metrics:")
             line = line.replace("test metrics:", "final metrics:")
@@ -122,13 +149,18 @@ def run_one(exp: str, name: str, script: str = "train.py") -> dict:
     row = {
         "experiment": exp,
         "wall_s": round(time.time() - t0, 1),
+        "out_dir": out_dir,
         "test_auc": metrics.get("test/auc"),
         "test_mrr": metrics.get("test/mrr"),
         "test_ndcg10": metrics.get("test/ndcg@10"),
         "val_auc_best_epoch": metrics.get("val/auc"),
         "metrics": metrics,
     }
-    os.makedirs(os.path.join(REPO, out_dir), exist_ok=True)
+    # stable alias for dependent configs (manner ensemble ckpt paths)
+    att_ckpt = os.path.join(REPO, out_dir, "checkpoints")
+    if os.path.isdir(att_ckpt):
+        _relink(os.path.join(abs_base, "checkpoints"),
+                os.path.join(os.path.basename(out_dir), "checkpoints"))
     with open(marker, "w") as f:
         json.dump(row, f)
     return row
@@ -146,10 +178,7 @@ def main() -> None:
         script = entry[2] if len(entry) > 2 else "train.py"
         if only and exp not in only and name not in only:
             continue
-        try:
-            row = run_one(exp, name, script)
-        except subprocess.TimeoutExpired:
-            row = {"experiment": exp, "error": f"timeout>{TIMEOUT_S}s"}
+        row = run_one(exp, name, script)
         print(json.dumps(row)[:400], flush=True)
         with open(log_path, "a") as f:
             f.write(json.dumps(row) + "\n")

@@ -89,9 +89,13 @@ def run_manner_ensemble(cfg: dict, mind, info, out_dir: str) -> dict:
     log.info("ensemble: CR + %d aspect modules (%s)", len(aspect_modules),
              {k: v[2] for k, v in aspect_modules.items()})
 
+    dc = cfg["data"]
     metrics = evaluate_ensemble(
-        cr_model, cr_params, aspect_modules, _test_batcher(cfg, mind),
+        cr_model, cr_params, aspect_modules,
+        mind.news_store("test"), mind.impressions("test"),
         _ranking(cfg, info),
+        max_history_len=dc["max_history_len"],
+        target_cells=dc.get("eval_target_cells", 8192),
     )
     metrics = {f"test/{k}": v for k, v in metrics.items()}
     loggers = make_loggers(out_dir, cfg.get("loggers", ["stdout", "csv"]))

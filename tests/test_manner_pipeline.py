@@ -76,3 +76,42 @@ def test_manner_end_to_end():
         np.asarray(fair_rec.zscore_per_impression(cr_scores, jnp.asarray(batch.cand_mask))),
         atol=1e-6,
     )
+
+
+def test_manner_ensemble_module_matches_functional_fusion():
+    """MANNeREnsemble (the servable single-table module driving the cached
+    ensemble eval, ``manner_module.py:174-204`` analog) must reproduce the
+    functional z-score fusion exactly when fed the submodules' params."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    batch = make_batch(rng, batch_size=6, hist_len=5, num_candidates=5,
+                       unique_news=24, cfg=CFG)
+    cr = fair_rec.MANNeRCR(
+        vocab_size=VOCAB, entity_vocab_size=60, text_embed_dim=48,
+        entity_embed_dim=16, num_heads=4, query_dim=16,
+    )
+    cr_params = cr.init({"params": jax.random.key(0)}, batch,
+                        deterministic=True)["params"]
+    a = fair_rec.MANNeRA(
+        vocab_size=VOCAB, use_entities=False, text_embed_dim=32,
+        num_heads=4, query_dim=16,
+    )
+    a_params = a.init({"params": jax.random.key(1)}, batch.news,
+                      deterministic=True)["params"]
+    ens = fair_rec.MANNeREnsemble(
+        cr=cr, aspect_names=("categ",), aspect_towers=(a,),
+        aspect_weights=(0.3,), cr_dim=48, aspect_dims=(32,),
+    )
+    # params spliced by field name — the layout evaluate_ensemble assembles
+    # from restored checkpoints
+    params = {"cr": cr_params, "aspect_towers_0": a_params}
+    fused, _ = ens.apply({"params": params}, batch, deterministic=True)
+
+    cr_scores, _ = cr.apply({"params": cr_params}, batch, deterministic=True)
+    categ_scores = fair_rec.aspect_module_scores(a.apply, a_params, batch)
+    ref = fair_rec.manner_ensemble_scores(
+        cr_scores, {"categ": categ_scores}, {"categ": 0.3},
+        jnp.asarray(batch.cand_mask),
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
