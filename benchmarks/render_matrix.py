@@ -26,6 +26,8 @@ LABELS = {
     "manner_a_sent_statfix": "MANNeR A-module (sentiment)",
     "manner_ensemble_statfix": "MANNeR ensemble",
     "nrms_adressafix_celoss": "NRMS (Adressa fixture)",
+    "nrms_xmindfix_zeroshot": "NRMS (xMIND zero-shot fin)",
+    "nrms_xmindfix_bilingual": "NRMS (xMIND bilingual fin)",
 }
 
 

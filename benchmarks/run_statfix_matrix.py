@@ -52,6 +52,8 @@ EXPERIMENTS = [
     ("manner_a_sent_statfix", "manner_a_sent"),
     ("manner_ensemble_statfix", "manner_ensemble", "eval.py"),
     ("nrms_adressafix_celoss", "nrms_adressa"),
+    ("nrms_xmindfix_zeroshot", "nrms_xmind_zeroshot"),
+    ("nrms_xmindfix_bilingual", "nrms_xmind_bilingual"),
 ]
 
 TIMEOUT_S = 3600

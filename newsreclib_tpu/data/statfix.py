@@ -324,3 +324,58 @@ def write_adressa_statfix(
             info.size = len(blob)
             tar.addfile(info, io.BytesIO(blob))
     return tar_path
+
+
+# ---------------------------------------------------------------------------
+# xMIND translated-news fixture (round 4, VERDICT item 7)
+# ---------------------------------------------------------------------------
+
+def write_xmind_statfix(data_dir: str, lang: str = "fin") -> None:
+    """Write the xMIND companion of the statfix fixture: word-level
+    "translated" news + a MUSE-style ALIGNED embedding file.
+
+    The reference's xMIND zero-shot transfer rides a multilingual PLM whose
+    shared embedding space maps a translation near its source text
+    (``xmind_dataframe.py:335-352``).  The offline analog here is
+    cross-lingually aligned word vectors: every token ``w`` of the statfix
+    corpus gets a target-language twin ``<lang>_w`` carrying the SAME vector
+    in ``xMIND/<lang>/aligned_embeddings.txt``.  A model trained on English
+    statfix text then scores translated candidates through the shared
+    embedding geometry — the same mechanism, minus the transformer.
+
+    Idempotent: skips work when the translated news files exist.
+    """
+    xdir = os.path.join(data_dir, "xMIND", lang)
+    done = all(
+        os.path.exists(os.path.join(xdir, split, "news.tsv"))
+        for split in ("train", "dev")
+    ) and os.path.exists(os.path.join(xdir, "aligned_embeddings.txt"))
+    if done:
+        return
+
+    from newsreclib_tpu.data.tokenize import word_tokenize
+
+    def translate(text: str) -> str:
+        return " ".join(f"{lang}_{w}" for w in word_tokenize(text))
+
+    print(f"statfix: writing xMIND/{lang} translated news...")
+    for split in ("train", "dev"):
+        src = os.path.join(data_dir, f"MINDsmall_{split}", "news.tsv")
+        if not os.path.exists(src):
+            raise FileNotFoundError(
+                f"{src} missing — generate the MIND statfix fixture first"
+            )
+        os.makedirs(os.path.join(xdir, split), exist_ok=True)
+        with open(src) as f, open(os.path.join(xdir, split, "news.tsv"), "w") as out:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                nid, title, abstract = parts[0], parts[3], parts[4]
+                out.write("\t".join([nid, translate(title), translate(abstract)]) + "\n")
+
+    # aligned vectors: <lang>_w = vector(w) for every word in the base glove
+    print(f"statfix: writing xMIND/{lang} aligned embeddings...")
+    glove = os.path.join(data_dir, "glove_statfix.txt")
+    with open(glove) as f, open(os.path.join(xdir, "aligned_embeddings.txt"), "w") as out:
+        for line in f:
+            out.write(f"{lang}_{line}")
+    print("statfix: xMIND fixture done.")

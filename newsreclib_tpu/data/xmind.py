@@ -133,10 +133,93 @@ class XMINDData:
         self._stores[raw_split] = store
         return store
 
+    # ---- extended vocabulary / aligned embeddings --------------------------
+    # The reference's xMIND path is PLM-only: a multilingual tokenizer gives
+    # target-language text a universal vocab and the pretrained encoder a
+    # shared embedding space (``xmind_dataframe.py`` assumes this).  The
+    # word-level offline analog: extend the train-built word2index with the
+    # target-language words found in the translated news, and extend the
+    # embedding matrix with vectors from an ALIGNED embedding file
+    # (``xMIND/<lang>/aligned_embeddings.txt``, MUSE-style: translated word →
+    # vector in the SOURCE language's space).  Words absent from the aligned
+    # file fall back to seeded random-normal rows, mirroring
+    # ``build_embedding_matrix`` OOV semantics.
+
+    def lang_dir(self) -> str:
+        return os.path.join(self.mind.cfg.data_dir, "xMIND", self.cfg.tgt_lang)
+
     def _word2index(self):
+        return self._ensure_extended_vocab()[0]
+
+    def _ensure_extended_vocab(self):
+        if getattr(self, "_ext_vocab", None) is not None:
+            return self._ext_vocab
         from newsreclib_tpu.data.mind import _load_idx_map
 
-        return _load_idx_map(self.mind.map_path("word2index"))
+        base = _load_idx_map(self.mind.map_path("word2index"))
+        map_path = os.path.join(self.lang_dir(), "word2index.tsv")
+        if os.path.exists(map_path):
+            ext = _load_idx_map(map_path)
+        else:
+            from newsreclib_tpu.data.tokenize import word_tokenize
+
+            ext = dict(base)
+            for raw_split in ("train", "dev"):
+                p = self.xmind_news_path(raw_split)
+                if not os.path.exists(p):
+                    continue
+                xnews = pd.read_table(
+                    p, header=None, names=["nid", "title", "abstract"],
+                    usecols=range(3),
+                )
+                xnews["abstract"] = xnews["abstract"].fillna("")
+                for col in ("title", "abstract"):
+                    for text in xnews[col]:
+                        for w in word_tokenize(text):
+                            if w not in ext:
+                                ext[w] = len(ext) + 1
+            os.makedirs(os.path.dirname(map_path), exist_ok=True)
+            pd.DataFrame(ext.items(), columns=["word", "index"]).to_csv(
+                map_path, sep="\t", index=False
+            )
+        self._ext_vocab = (ext, len(base))
+        return self._ext_vocab
+
+    def ensure_word_embeddings(self) -> Optional[str]:
+        """Build (or reuse) the EXTENDED embedding matrix .npy; returns its
+        directory (``load_data_info`` reads it from there)."""
+        base_npy = os.path.join(
+            self.mind.split_dir("train"), "transformed_word_embeddings.npy"
+        )
+        if not os.path.exists(base_npy):
+            return None
+        out = os.path.join(self.lang_dir(), "transformed_word_embeddings.npy")
+        ext, n_base = self._ensure_extended_vocab()
+        if os.path.exists(out):
+            if np.load(out, mmap_mode="r").shape[0] == len(ext) + 1:
+                return self.lang_dir()
+        base = np.load(base_npy)
+        dim = base.shape[1]
+        n_new = len(ext) - n_base
+        rng = np.random.default_rng(self.cfg.seed)
+        rows = rng.normal(size=(n_new, dim)).astype(np.float32)
+        aligned = os.path.join(self.lang_dir(), "aligned_embeddings.txt")
+        if os.path.exists(aligned):
+            hit = 0
+            with open(aligned, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip().split(" ")
+                    if len(parts) < dim + 1:
+                        continue
+                    idx = ext.get(parts[0])
+                    if idx is not None and idx > n_base:
+                        rows[idx - n_base - 1] = np.asarray(
+                            parts[-dim:], dtype=np.float32
+                        )
+                        hit += 1
+        matrix = np.vstack([base, rows])
+        np.save(out, matrix)
+        return self.lang_dir()
 
     def impressions(self, split: str) -> Impressions:
         """MIND behaviors with bilingual mixing applied per split config."""
@@ -206,7 +289,7 @@ class XMINDData:
 
     # passthroughs
     def vocab_size(self) -> int:
-        return self.mind.vocab_size()
+        return len(self._ensure_extended_vocab()[0]) + 1
 
     def num_users(self) -> int:
         return self.mind.num_users()

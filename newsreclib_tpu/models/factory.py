@@ -390,16 +390,21 @@ def build_loss(cfg: Dict) -> Callable:
 def load_data_info(mind_data, cfg_model: Dict) -> DataInfo:
     """Build DataInfo from a MINDData instance + model config."""
     classes = mind_data.num_classes()
-    emb_path = os.path.join(
-        mind_data.split_dir("train"), "transformed_word_embeddings.npy"
-    )
+    use_pretrained_w = cfg_model.get("use_pretrained_embeddings", True)
+    # xMIND extends the train vocab + matrix with target-language words from
+    # an aligned embedding file (data/xmind.py::ensure_word_embeddings)
+    emb_dir = (
+        mind_data.ensure_word_embeddings()
+        if use_pretrained_w and hasattr(mind_data, "ensure_word_embeddings")
+        else None
+    ) or mind_data.split_dir("train")
+    emb_path = os.path.join(emb_dir, "transformed_word_embeddings.npy")
     ent_path = os.path.join(
         mind_data.split_dir("train"), "transformed_entity_embeddings.npy"
     )
     categ_path = os.path.join(
         mind_data.split_dir("train"), "transformed_categ_embeddings.npy"
     )
-    use_pretrained = cfg_model.get("use_pretrained_embeddings", True)
     return DataInfo(
         vocab_size=mind_data.vocab_size(),
         num_users=mind_data.num_users(),
@@ -408,7 +413,7 @@ def load_data_info(mind_data, cfg_model: Dict) -> DataInfo:
         num_sent_classes=classes["sentiment"],
         entity_vocab_size=classes["entity"],
         pretrained_embeddings=(
-            np.load(emb_path) if use_pretrained and os.path.exists(emb_path) else None
+            np.load(emb_path) if use_pretrained_w and os.path.exists(emb_path) else None
         ),
         pretrained_entity_embeddings=(
             np.load(ent_path) if os.path.exists(ent_path) else None

@@ -65,3 +65,62 @@ def test_mixing_determinism(xmind):
     i2 = xmind.impressions("train")
     np.testing.assert_array_equal(i1.cand_flat, i2.cand_flat)
     np.testing.assert_array_equal(i1.hist_flat, i2.hist_flat)
+
+
+def test_extended_vocab_assigns_ids_to_translated_words(xmind):
+    """Target-language words get NEW vocab ids (the PLM-universal-vocab
+    analog) so translated titles carry real token signal, not OOV zeros."""
+    store = xmind.news_store("train")
+    r_fi = store.nid2row["N5_fin"]
+    # translated title must contain nonzero token ids
+    assert store.title[r_fi].sum() > 0
+    ext, n_base = xmind._ensure_extended_vocab()
+    assert len(ext) > n_base
+    assert xmind.vocab_size() == len(ext) + 1
+
+
+def test_aligned_embeddings_extend_matrix(tmp_path):
+    """ensure_word_embeddings builds the extended matrix with aligned-file
+    vectors for translated words (MUSE-style shared space)."""
+    data_dir = str(tmp_path)
+    write_mind_fixture(data_dir, num_news=40, num_train_behaviors=40,
+                       num_dev_behaviors=20)
+    mind = MINDData(MINDConfig(data_dir=data_dir, dataset_size="demo",
+                               sentiment_annotator="lexicon",
+                               word_embeddings_fpath=os.path.join(data_dir, "glove_demo.txt"),
+                               word_embed_dim=8))
+    # tiny glove for the base vocab
+    mind.news_store("train")
+    from newsreclib_tpu.data.mind import _load_idx_map
+
+    base_map = _load_idx_map(mind.map_path("word2index"))
+    words = list(base_map)[:5]
+    with open(os.path.join(data_dir, "glove_demo.txt"), "w") as f:
+        for i, w in enumerate(words):
+            f.write(w + " " + " ".join(str(float(i + 1)) for _ in range(8)) + "\n")
+    # rebuild matrix now that glove exists
+    from newsreclib_tpu.data.embeddings import build_embedding_matrix
+
+    build_embedding_matrix(
+        base_map, os.path.join(data_dir, "glove_demo.txt"), 8,
+        out_fpath=os.path.join(mind.split_dir("train"), "transformed_word_embeddings.npy"),
+    )
+    # translated news + aligned file: fin twin of words[0] shares its vector
+    for split in ("train", "dev"):
+        d = os.path.join(data_dir, "xMIND", "fin", split)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "news.tsv"), "w") as f:
+            f.write(f"N1\tfin_{words[0]} fin_{words[1]}\t\n")
+    with open(os.path.join(data_dir, "xMIND", "fin", "aligned_embeddings.txt"), "w") as f:
+        f.write(f"fin_{words[0]} " + " ".join("1.0" for _ in range(8)) + "\n")
+
+    x = XMINDData(mind, XMINDConfig(tgt_lang="fin"))
+    emb_dir = x.ensure_word_embeddings()
+    ext, n_base = x._ensure_extended_vocab()
+    mat = np.load(os.path.join(emb_dir, "transformed_word_embeddings.npy"))
+    assert mat.shape[0] == len(ext) + 1
+    # aligned word copied exactly; base rows untouched
+    np.testing.assert_allclose(mat[ext[f"fin_{words[0]}"]], np.full(8, 1.0))
+    np.testing.assert_allclose(mat[base_map[words[0]]], np.full(8, 1.0))
+    # un-aligned translated word got a (random) row, not zeros
+    assert np.abs(mat[ext[f"fin_{words[1]}"]]).sum() > 0

@@ -109,6 +109,13 @@ def setup_data(cfg: dict):
     if dataset == "xmind":
         from newsreclib_tpu.data.xmind import XMINDConfig, XMINDData
 
+        if dc.get("generate_fixture") == "statfix":
+            # translated news + aligned embedding file companion of the
+            # statfix fixture (idempotent)
+            from newsreclib_tpu.data.statfix import write_xmind_statfix
+
+            write_xmind_statfix(dc["data_dir"], lang=dc.get("tgt_lang", "fin"))
+
         return XMINDData(
             mind,
             XMINDConfig(
