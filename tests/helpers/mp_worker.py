@@ -94,6 +94,10 @@ def main() -> None:
     ap.add_argument("--num-processes", type=int, default=2)
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--model-axis", type=int, default=1)
+    ap.add_argument("--eval", action="store_true",
+                    help="run a rank-0 eval epoch after training (exercises "
+                         "the model-axis>1 gather path)")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -136,7 +140,7 @@ def main() -> None:
     ).epoch(0)))
     model, state = build_model_state(example)
     corpus = store.features_for(np.arange(store.title.shape[0]))
-    mesh = make_mesh(jax.devices(), model_axis=1)
+    mesh = make_mesh(jax.devices(), model_axis=args.model_axis)
     logger = CaptureLogger()
     trainer = Trainer(
         state, cross_entropy_loss,
@@ -147,16 +151,35 @@ def main() -> None:
     )
     out = trainer.train_epoch(batcher, 0)
 
+    eval_metrics = {}
+    if args.eval:
+        from newsreclib_tpu.data.batching import EvalBatcher
+
+        val_batcher = EvalBatcher(
+            store, imp_full, max_history_len=HIST, target_cells=256,
+            u_bucket_min=64,
+        )
+        # all ranks call evaluate (the model-axis>1 gather is a collective);
+        # only rank 0 gets metrics back
+        eval_metrics = trainer.evaluate(val_batcher, "val")
+
     if args.process_id == 0:
+        # full-table gather parity: with a model axis the local copy must
+        # hold the FULL params, not rank 0's row shard
+        gathered = trainer._to_local(
+            trainer._gather_global(trainer.state.params)
+            if args.model_axis > 1 else trainer.state.params
+        )
         param_abssum = float(sum(
             np.sum(np.abs(np.asarray(leaf)))
-            for leaf in jax.tree.leaves(trainer.state.params)
+            for leaf in jax.tree.leaves(gathered)
         ))
         with open(args.out, "w") as f:
             json.dump({
                 "losses": [l for _, l in sorted(logger.rows)],
                 "mean_loss": out["train/loss"],
                 "param_abssum": param_abssum,
+                "eval": {k: float(v) for k, v in eval_metrics.items()},
             }, f)
     # all processes exit together
     jax.distributed.shutdown()

@@ -201,3 +201,90 @@ def test_two_process_training_matches_single(tmp_path):
         for leaf in jax.tree.leaves(trainer.state.params)
     ))
     assert abs(got["param_abssum"] - ref_abssum) / max(ref_abssum, 1) < 1e-5
+
+
+def test_two_process_model_axis_eval(tmp_path):
+    """2 real processes × (data 4 / model 2... actually data 2 × model 2 per
+    4-device proc -> global mesh data 4 × model 2): train with ROW-SHARDED
+    embeddings, then run the rank-0 eval that round 3 left as
+    NotImplementedError.  The worker's val metrics must match a
+    single-process reference trained on the same global batches.
+    (VERDICT r3 item 8.)"""
+    steps = 4
+    port = _free_port()
+    out = tmp_path / "rank0.json"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HELPERS, "mp_worker.py"),
+             "--process-id", str(i), "--num-processes", "2",
+             "--port", str(port), "--steps", str(steps),
+             "--model-axis", "2", "--eval", "--out", str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+    got = json.loads(out.read_text())
+    assert len(got["losses"]) == steps
+    assert got["eval"], "rank 0 must produce eval metrics"
+    assert np.isfinite(got["eval"]["val/auc"])
+
+    # ---- single-process reference over the same GLOBAL batches ----
+    from newsreclib_tpu.data.batching import EvalBatcher, TrainBatcher
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.parallel.data import shard_impressions
+    from newsreclib_tpu.training.trainer import Trainer
+
+    store, imp_full = mp_worker.build_data()
+    local_b = mp_worker.GLOBAL_BATCH // 2
+    shards = [
+        TrainBatcher(
+            store, shard_impressions(imp_full, p, 2), batch_size=local_b,
+            max_history_len=mp_worker.HIST, neg_sampling_ratio=mp_worker.NEG_K,
+            seed=mp_worker.SEED + 7919 * p, global_rows=True, num_steps=steps,
+            u_bucket_min=64,
+        )
+        for p in range(2)
+    ]
+    u_bucket = shards[0].global_u_bucket(mp_worker.GLOBAL_BATCH)
+    global_batches = [
+        jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), b0, b1)
+        for b0, b1 in zip(shards[0].epoch(0), shards[1].epoch(0))
+    ]
+    example = next(iter(TrainBatcher(
+        store, shard_impressions(imp_full, 0, 2), batch_size=local_b,
+        max_history_len=mp_worker.HIST, neg_sampling_ratio=mp_worker.NEG_K,
+        seed=mp_worker.SEED, u_bucket_min=64,
+    ).epoch(0)))
+    model, state = mp_worker.build_model_state(example)
+    corpus = store.features_for(np.arange(store.title.shape[0]))
+    trainer = Trainer(state, cross_entropy_loss, _trainer_cfg(),
+                      model=model, corpus=corpus, u_bucket=u_bucket)
+    trainer.cfg.limit_train_batches = steps
+    trainer.train_epoch(_FixedBatcher(global_batches), 0)
+    ref_abssum = float(sum(
+        np.sum(np.abs(np.asarray(leaf)))
+        for leaf in jax.tree.leaves(trainer.state.params)
+    ))
+    # row-sharded training must land on the same params (lookup psum order
+    # gives tiny float drift)
+    assert abs(got["param_abssum"] - ref_abssum) / max(ref_abssum, 1) < 1e-4
+    ref_eval = trainer.evaluate(
+        EvalBatcher(store, imp_full, max_history_len=mp_worker.HIST,
+                    target_cells=256, u_bucket_min=64),
+        "val",
+    )
+    for k in ("val/auc", "val/mrr", "val/ndcg@10"):
+        assert abs(got["eval"][k] - ref_eval[k]) < 1e-3, (k, got["eval"][k], ref_eval[k])
