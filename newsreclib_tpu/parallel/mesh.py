@@ -81,12 +81,24 @@ def put_global(x, sharding: NamedSharding):
 
 def place_state(state, mesh: Mesh, row_shard_embeddings: bool = True):
     """Place a TrainState onto the mesh: params per ``param_shardings``,
-    optimizer state + RNG replicated.  The production multi-device path
-    (``train.py`` / ``Trainer``) and the driver dryrun both go through here."""
+    optimizer state following the same rule (adam's mu/nu mirror the param
+    tree — replicating a row-sharded table's moments would keep 2× the full
+    table's bytes on every device, defeating the sharding), RNG replicated.
+    The production multi-device path (``train.py`` / ``Trainer``) and the
+    driver dryrun both go through here."""
     shardings = param_shardings(state.params, mesh, row_shard_embeddings)
     params = jax.tree.map(put_global, state.params, shardings)
     repl = replicated(mesh)
-    opt_state = jax.tree.map(lambda x: put_global(x, repl), state.opt_state)
+    want_rows = row_shard_embeddings and mesh.shape.get("model", 1) > 1
+
+    def opt_spec(path, x):
+        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        if want_rows and getattr(x, "ndim", 0) == 2 and name.endswith("embedding/embedding"):
+            return NamedSharding(mesh, P("model", None))
+        return repl
+
+    opt_shardings = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
+    opt_state = jax.tree.map(put_global, state.opt_state, opt_shardings)
     return state.replace(
         params=params,
         opt_state=opt_state,

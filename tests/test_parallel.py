@@ -216,3 +216,102 @@ def test_mesh_trainer_with_split_batches():
     t_mesh = Trainer(state8, cross_entropy_loss, tc, mesh=mesh, model=model)
     out_mesh = t_mesh.train_epoch(_FixedBatcher(split_batches), 0)
     assert abs(out_single["train/loss"] - out_mesh["train/loss"]) < 1e-5
+
+
+def test_mindlarge_scale_row_sharded_embeddings():
+    """MINDlarge-scale vocab stress (VERDICT r3 item 6): a 524,288-row
+    embedding table trained with model-axis row sharding on the 8-device
+    mesh.  Asserts per-device bytes ∝ rows/shards for BOTH the param table
+    and its adam moments, trains steps to a finite loss, and builds the
+    serving vector table at 100k-article scale through the mesh encode."""
+    import jax.numpy as jnp
+
+    from newsreclib_tpu.data.batch import NewsFeatures, RecBatch
+    from newsreclib_tpu.data.news_store import NewsStore
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.models.general_rec import NRMS
+    from newsreclib_tpu.training.state import create_train_state, make_optimizer
+    from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+    VOCAB = 524_288          # ≥0.5M rows — the MINDlarge GloVe regime
+    EMBED, HEADS, QUERY, TITLE = 64, 4, 32, 8
+    NUM_NEWS = 100_000
+    rng = np.random.default_rng(0)
+
+    title = np.zeros((NUM_NEWS + 1, TITLE), dtype=np.int32)
+    title[1:] = rng.integers(2, VOCAB, size=(NUM_NEWS, TITLE))
+    title[1:, TITLE - 2:] = 0  # some padding
+    store = NewsStore(nid2row={f"N{i}": i for i in range(1, NUM_NEWS + 1)},
+                      title=title)
+
+    B, H, C, U = 8, 6, 5, 64
+    news = NewsFeatures(
+        title=jnp.asarray(title[:U]), title_mask=jnp.asarray(title[:U] != 0),
+        abstract=None, abstract_mask=None, title_entities=None,
+        title_entities_mask=None, abstract_entities=None,
+        abstract_entities_mask=None, category=None, subcategory=None,
+        sentiment=None, sentiment_score=None,
+    )
+    hist_idx = rng.integers(1, U, size=(B, H)).astype(np.int32)
+    cand_idx = rng.integers(1, U, size=(B, C)).astype(np.int32)
+    labels = np.zeros((B, C), dtype=np.float32)
+    labels[:, 0] = 1.0
+    batch = RecBatch(
+        news=news, news2=None, hist_idx=jnp.asarray(hist_idx),
+        hist_mask=jnp.asarray(hist_idx != 0), cand_idx=jnp.asarray(cand_idx),
+        cand_mask=jnp.ones((B, C), dtype=bool), labels=jnp.asarray(labels),
+        user_idx=None, impression_valid=jnp.ones(B, dtype=bool),
+    )
+
+    model = NRMS(vocab_size=VOCAB, embed_dim=EMBED, num_heads=HEADS,
+                 query_dim=QUERY)
+    state = create_train_state(model, batch, jax.random.key(0),
+                               make_optimizer(1e-3))
+    mesh = make_mesh(jax.devices(), model_axis=4)  # data 2 × model 4
+    trainer = Trainer(state, cross_entropy_loss,
+                      TrainerConfig(max_epochs=1, ckpt_dir=None),
+                      mesh=mesh, model=model)
+
+    # --- per-device memory ∝ rows/shards, for table AND adam moments ---
+    def emb_leaves(tree):
+        out = []
+        def walk(path, node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(path + [k], v)
+            elif path[-2:] == ["embedding", "embedding"]:
+                out.append(node)
+        walk([], tree)
+        return out
+
+    table = emb_leaves(trainer.state.params)
+    assert table, "NRMS must expose the word embedding table"
+    table = table[0]
+    full_bytes = VOCAB * EMBED * 4  # vocab rows (+1 pad handled below)
+    shard_rows = {s.data.shape[0] for s in table.addressable_shards}
+    assert shard_rows == {VOCAB // 4}, shard_rows  # (VOCAB+pad? see below)
+    import jax as _jax
+    mu_nu = [l for l in _jax.tree.leaves(
+        _jax.tree.map(lambda x: x, trainer.state.opt_state))
+        if getattr(l, "ndim", 0) == 2 and l.shape[0] == table.shape[0]]
+    assert mu_nu, "adam moments for the table must exist"
+    for m in mu_nu:
+        rows = {s.data.shape[0] for s in m.addressable_shards}
+        assert rows == {table.shape[0] // 4}, (
+            "adam moments must be row-sharded like the table", rows)
+
+    # --- a few production train steps ---
+    trainer.cfg.limit_train_batches = 2
+    out = trainer.train_epoch(_FixedBatcher([batch, batch]), 0)
+    assert np.isfinite(out["train/loss"])
+
+    # --- serving table build at scale through the mesh ---
+    from newsreclib_tpu.serving import build_news_vector_table
+
+    vec_table = build_news_vector_table(
+        model, trainer.state.params, store, batch_size=8192, mesh=mesh,
+        split_title_len=None,
+    )
+    assert vec_table.shape == (NUM_NEWS + 1, EMBED)
+    sample = np.asarray(vec_table[1:64])
+    assert np.all(np.isfinite(sample)) and np.abs(sample).sum() > 0
