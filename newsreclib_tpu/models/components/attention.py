@@ -72,7 +72,15 @@ class MultiHeadSelfAttention(nn.Module):
     use_pallas: bool = False  # fused small-seq kernel (3-D inputs only)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        pair_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """``pair_mask (..., L, L)``: position i may attend to j only where
+        True — block-diagonal for article packing (``MHSAAddAtt.pack_to``),
+        combined with the key-validity ``mask``."""
         d = self.out_dim or x.shape[-1]
         assert d % self.num_heads == 0, (d, self.num_heads)
         head_dim = d // self.num_heads
@@ -101,6 +109,8 @@ class MultiHeadSelfAttention(nn.Module):
         if mask is not None:
             key_mask = mask[..., None, None, :]  # broadcast over heads+queries
             logits = jnp.where(key_mask, logits, _MASK_MIN)
+        if pair_mask is not None:
+            logits = jnp.where(pair_mask[..., None, :, :], logits, _MASK_MIN)
         weights = nn.softmax(logits, axis=-1)
         out = jnp.einsum("...lm,...md->...ld", weights, v)
         out = jnp.swapaxes(out, -2, -3)

@@ -31,7 +31,21 @@ from newsreclib_tpu.models.components.embedding import TokenEmbedding
 
 
 class MHSAAddAtt(nn.Module):
-    """NRMS text encoder: embed → MHSA → additive attention."""
+    """NRMS text encoder: embed → MHSA → additive attention.
+
+    ``pack_to``: article packing (round 4, VERDICT r3 item 5).  The encoder's
+    per-head attention matmuls are tiny — L≈16 of the MXU's 128 rows
+    (``docs/architecture.md`` train-step breakdown) — so when the padded
+    title width divides into ``pack_to``, P = pack_to//L articles are
+    reshaped into ONE attention sequence of P·L rows with a BLOCK-DIAGONAL
+    pair mask (segment-ID attention).  Per-head matmuls become
+    (P·L × hd)@(hd × P·L) — P× fewer, P× taller — at the cost of computing
+    (and masking off) cross-article logits.  Numerically EXACT vs the
+    unpacked path: softmax rows see only their own article's keys, and the
+    additive-attention pooling runs on the unpacked (U, L, D) view.
+    0 disables.  Requires U % P == 0 (u-buckets are powers of two ≥128, so
+    any power-of-two P divides them).
+    """
 
     vocab_size: int
     embed_dim: int = 300
@@ -39,6 +53,7 @@ class MHSAAddAtt(nn.Module):
     query_dim: int = 200
     dropout: float = 0.2
     pretrained: Optional[np.ndarray] = None
+    pack_to: int = 0
 
     @nn.compact
     def __call__(
@@ -48,7 +63,18 @@ class MHSAAddAtt(nn.Module):
             tokens
         )
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = MultiHeadSelfAttention(self.num_heads, name="mhsa")(x, mask)
+        u, l = tokens.shape[0], tokens.shape[1]
+        p = self.pack_to // l if (self.pack_to and tokens.ndim == 2) else 0
+        if p >= 2 and u % p == 0 and mask is not None:
+            g, pl = u // p, p * l
+            xp = x.reshape(g, pl, self.embed_dim)
+            mp = mask.reshape(g, pl)
+            seg = jnp.arange(pl) // l
+            pair = (seg[:, None] == seg[None, :])[None]  # (1, PL, PL)
+            xp = MultiHeadSelfAttention(self.num_heads, name="mhsa")(xp, mp, pair)
+            x = xp.reshape(u, l, self.embed_dim)
+        else:
+            x = MultiHeadSelfAttention(self.num_heads, name="mhsa")(x, mask)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return AdditiveAttention(self.query_dim, name="add_att")(x, mask)
 

@@ -153,6 +153,7 @@ def build_model(cfg: Dict, info: DataInfo):
             query_dim=cfg.get("query_dim", 200),
             dropout=d,
             text_encoder_module=plm_tower,
+            pack_titles=cfg.get("pack_titles", 0),
         )
     if name == "naml":
         return general_rec.NAML(

@@ -42,6 +42,7 @@ class NRMS(nn.Module):
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
     text_encoder_module: Optional[nn.Module] = None  # e.g. PLMTextEncoder
+    pack_titles: int = 0  # segment-ID article packing (MHSAAddAtt.pack_to)
 
     def setup(self):
         if self.text_encoder_module is not None:
@@ -54,6 +55,7 @@ class NRMS(nn.Module):
                 query_dim=self.query_dim,
                 dropout=self.dropout,
                 pretrained=self.pretrained_embeddings,
+                pack_to=self.pack_titles,
             )
         if not self.late_fusion:
             self.user_encoder = NRMSUserEncoder(
