@@ -73,7 +73,7 @@ def main() -> None:
     )
     dc = cfg["data"]
     mind = setup_data(cfg)
-    margin = title_split_margin(cfg["model"]["name"])
+    margin = title_split_margin(cfg["model"]["name"], cfg["model"])
     store = mind.news_store("train").trim_titles(margin=margin)
     info = load_data_info(mind, cfg["model"])
     model = build_model(cfg["model"], info)

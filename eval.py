@@ -44,7 +44,7 @@ def _test_batcher(cfg: dict, mind) -> EvalBatcher:
     from newsreclib_tpu.models.factory import title_split_margin
 
     dc = cfg["data"]
-    margin = title_split_margin(cfg["model"].get("name", ""))
+    margin = title_split_margin(cfg["model"].get("name", ""), cfg["model"])
     return EvalBatcher(
         mind.news_store("test").trim_titles(margin=margin),
         mind.impressions("test"),

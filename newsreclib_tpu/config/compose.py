@@ -50,7 +50,11 @@ def _parse_override_value(val: str) -> Any:
     float grammar requires a dot before the exponent — ``lr=1e-05`` parses
     as the STRING '1e-05' (and then reaches the optimizer as a string; a
     TPE sweep hitting its log-uniform bound produced exactly this).  Treat
-    bare scientific notation as float."""
+    bare scientific notation as float.
+
+    Accepted tradeoff (ADVICE r3): a value INTENDED as a string that looks
+    like bare scientific notation (e.g. a run name ``2e5``) is coerced too —
+    quote it through the shell to keep it a string: ``name='"2e5"'``."""
     parsed = yaml.safe_load(val)
     if isinstance(parsed, str) and _SCI_FLOAT.match(parsed):
         return float(parsed)

@@ -121,14 +121,16 @@ def splice_plm_params(params, ported):
     return replaced
 
 
-def title_split_margin(model_name: str) -> int:
+def title_split_margin(model_name: str, model_cfg: Optional[Dict] = None) -> int:
     """Title headroom the model needs for exact length-trim/split batching
     (``data/batching.py::split_news_by_length``): DKN's KCNN max-pools over
     VALID-conv windows that straddle/exceed the title, everything else is
-    masked-attention / SAME-conv and exact at 0."""
-    from newsreclib_tpu.models.general_rec import DKN
-
-    return DKN.TITLE_SPLIT_MARGIN if model_name == "dkn" else 0
+    masked-attention / SAME-conv and exact at 0.  Derived from the config's
+    ``window_sizes`` (ADVICE r3: a fixed constant went stale the moment a
+    config overrode the windows)."""
+    if model_name != "dkn":
+        return 0
+    return int(max((model_cfg or {}).get("window_sizes", (1, 2, 3, 4))))
 
 
 def build_model(cfg: Dict, info: DataInfo):

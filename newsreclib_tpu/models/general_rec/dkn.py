@@ -28,11 +28,6 @@ from newsreclib_tpu.models.components.user import DKNUserEncoder
 
 
 class DKN(nn.Module):
-    # KCNN VALID-convs max-pool over windows that straddle/exceed the title,
-    # so length-split batches need this much title headroom to stay exact
-    # (data/batching.py::split_news_by_length)
-    TITLE_SPLIT_MARGIN = 4
-
     vocab_size: int
     entity_vocab_size: int
     text_embed_dim: int = 300
@@ -62,6 +57,16 @@ class DKN(nn.Module):
         if not self.late_fusion:
             self.user_encoder = DKNUserEncoder(hidden_dim=100)
             self.click_predictor = DNNPredictor(self.hidden_dim_dnn)
+
+    @property
+    def TITLE_SPLIT_MARGIN(self) -> int:
+        """KCNN VALID-convs max-pool over windows that straddle/exceed the
+        title, so length-split batches need max(window) title headroom to
+        stay exact (ADVICE r3: a config with a window > the old constant 4
+        would have made the default-on length split silently inexact).
+        Read via getattr on the instance (serving.py) or computed from the
+        model config by ``factory.title_split_margin`` (pre-build callers)."""
+        return max(self.window_sizes)
 
     def encode_news(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
         return self.news_encoder(

@@ -288,7 +288,7 @@ def run(cfg: dict) -> dict:
     # force ETL early (reference train.py:56-58 forces prepare_data)
     from newsreclib_tpu.models.factory import title_split_margin
 
-    trim_margin = title_split_margin(cfg["model"]["name"])
+    trim_margin = title_split_margin(cfg["model"]["name"], cfg["model"])
     store_train = mind.news_store("train").trim_titles(margin=trim_margin)
     info = load_data_info(mind, cfg["model"])
     log.info(
@@ -354,6 +354,17 @@ def run(cfg: dict) -> dict:
     # data/batching.py::split_news_by_length.  data.split_title_len: null
     # disables it.
     split_len = dc.get("split_title_len", 16)
+    if split_len is not None and cfg["model"]["name"] == "dkn":
+        # KCNN aligns one entity id per title position (models/components/
+        # news.py KCNN truncates entities to the token width): a short
+        # segment narrower than the entity width would silently drop
+        # entity ids (ADVICE r3)
+        ents_w = dc.get("max_entities", 10)
+        assert split_len >= ents_w, (
+            f"DKN needs data.split_title_len ({split_len}) >= "
+            f"data.max_entities ({ents_w}); KCNN entity ids would be "
+            f"truncated in the short title segment"
+        )
     batcher_kwargs = dict(
         batch_size=local_batch,
         max_history_len=dc["max_history_len"],
