@@ -61,6 +61,24 @@ class TrainerConfig:
     # NaN checking never blocks the device pipeline (each fetch is ~free once
     # the async copy has landed; a blocking fetch costs a ~30ms tunnel RTT)
     async_check_depth: int = 8
+    # debug: replay the SAME first-N train batches every epoch (reference
+    # configs/debug/overfit.yaml `overfit_batches: 3`) — a model that cannot
+    # drive its loss to ~0 on a fixed tiny set has a bug
+    overfit_batches: Optional[int] = None
+
+
+class _ReplayBatcher:
+    """Fixed-batch replay for ``TrainerConfig.overfit_batches``."""
+
+    def __init__(self, batches, batch_size):
+        self._batches = batches
+        self.batch_size = batch_size
+
+    def __len__(self):
+        return len(self._batches)
+
+    def epoch(self, _epoch_idx):
+        return iter(self._batches)
 
 
 class Trainer:
@@ -324,6 +342,13 @@ class Trainer:
         best = None
         bad_epochs = 0
         start_epoch = 0
+        if self.cfg.overfit_batches:
+            batches = []
+            for i, b in enumerate(train_batcher.epoch(0)):
+                if i >= self.cfg.overfit_batches:
+                    break
+                batches.append(b)
+            train_batcher = _ReplayBatcher(batches, train_batcher.batch_size)
         if resume and self.ckpt and self.ckpt.has("last"):
             self.state = self._replace_state(self.ckpt.restore(self.state, "last"))
             meta = self.ckpt.meta("last")

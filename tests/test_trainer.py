@@ -166,3 +166,43 @@ def test_bf16_mixed_precision_training(setup):
     m16 = t16.evaluate(val_b, "val")
     m32 = t32.evaluate(val_b, "val")
     assert abs(m16["val/auc"] - m32["val/auc"]) < 0.05
+
+
+def test_overfit_batches_replays_and_overfits():
+    """trainer=overfit analog (reference configs/debug/overfit.yaml): the
+    SAME first-N batches replay every epoch and the loss collapses."""
+    import jax
+
+    from newsreclib_tpu.data.synthetic import SyntheticConfig, make_batch
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.models.general_rec import NRMS
+    from newsreclib_tpu.training.state import create_train_state, make_optimizer
+    from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    cfg = SyntheticConfig(vocab_size=200, title_len=8)
+    batches = [
+        make_batch(rng, batch_size=8, hist_len=4, num_candidates=5,
+                   unique_news=32, cfg=cfg, with_abstract=False,
+                   with_entities=False)
+        for _ in range(4)
+    ]
+
+    class Shuffler:  # yields DIFFERENT batches per epoch unless overfit caps it
+        batch_size = 8
+
+        def epoch(self, e):
+            return iter(batches if e == 0 else batches[::-1])
+
+    model = NRMS(vocab_size=200, embed_dim=48, num_heads=4, query_dim=16)
+    state = create_train_state(model, batches[0], jax.random.key(0),
+                               make_optimizer(5e-3))
+    trainer = Trainer(
+        state, cross_entropy_loss,
+        TrainerConfig(max_epochs=15, overfit_batches=2, ckpt_dir=None,
+                      log_every_n_steps=1000),
+    )
+    hist = trainer.fit(Shuffler())
+    assert trainer.global_step == 15 * 2  # exactly N batches per epoch
+    # final-epoch loss far below the ln(5)=1.61 start — it memorized
+    assert hist["train/loss"] < 0.35, hist

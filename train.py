@@ -433,6 +433,7 @@ def run(cfg: dict) -> dict:
         limit_eval_batches=tc.get("limit_eval_batches"),
         cached_eval=tc.get("cached_eval", True),
         compute_dtype=_normalize_precision(tc.get("precision")),
+        overfit_batches=tc.get("overfit_batches"),
     )
 
     if adversarial:
