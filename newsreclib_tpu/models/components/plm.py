@@ -88,6 +88,12 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
     position_offset: int = 0  # RoBERTa uses 2 (pad_token_id + 1)
+    # rematerialize each layer in the backward pass: a 12-layer tower's
+    # saved residuals dominate train-step HBM (unlike the GloVe towers,
+    # where the footprint is transient padding — see MANNeRCR docstring);
+    # per-layer remat trades ~1/3 extra encoder FLOPs for ~num_layers x
+    # smaller activation memory
+    remat: bool = True
 
     @nn.compact
     def __call__(self, tokens, mask=None, deterministic: bool = True):
@@ -105,8 +111,13 @@ class TransformerEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="emb_ln")(word + pos + typ)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
+        layer_cls = (
+            nn.remat(TransformerLayer, static_argnums=(3,))
+            if self.remat
+            else TransformerLayer
+        )
         for i in range(self.num_layers):
-            x = TransformerLayer(
+            x = layer_cls(
                 hidden_dim=self.hidden_dim,
                 num_heads=self.num_heads,
                 intermediate_dim=self.intermediate_dim,
