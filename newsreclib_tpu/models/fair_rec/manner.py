@@ -77,6 +77,7 @@ class MANNeRNewsEncoder(nn.Module):
     pretrained_embeddings: Optional[np.ndarray] = None
     pretrained_entity_embeddings: Optional[np.ndarray] = None
     text_encoder_module: Optional[nn.Module] = None  # e.g. PLM
+    pack_titles: int = 0  # segment-ID packing (MHSAAddAtt.pack_to)
 
     @nn.compact
     def __call__(self, news: NewsFeatures, deterministic: bool = True) -> jnp.ndarray:
@@ -85,6 +86,7 @@ class MANNeRNewsEncoder(nn.Module):
             text_vec = self.text_encoder_module(tokens, mask=mask, deterministic=deterministic)
         else:
             text_vec = MHSAAddAtt(
+                pack_to=self.pack_titles,
                 vocab_size=self.vocab_size,
                 embed_dim=self.text_embed_dim,
                 num_heads=self.num_heads,

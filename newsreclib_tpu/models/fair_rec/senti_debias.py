@@ -59,6 +59,7 @@ class SentiDebiasGenerator(nn.Module):
     query_dim: int = 200
     sent_embed_dim: int = 64
     dropout: float = 0.2
+    pack_titles: int = 0  # segment-ID packing (MHSAAddAtt.pack_to)
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
     # pluggable text tower (reference use_plm path, ``senti_debias_module.py``)
@@ -74,6 +75,7 @@ class SentiDebiasGenerator(nn.Module):
             query_dim=self.query_dim,
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
+            pack_to=self.pack_titles,
             name="news_encoder",
         )
         news_vecs = encode_all_news(

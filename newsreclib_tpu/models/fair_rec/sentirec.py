@@ -45,6 +45,7 @@ class SentiRec(nn.Module):
     num_heads: int = 15
     query_dim: int = 200
     dropout: float = 0.2
+    pack_titles: int = 0  # segment-ID packing (MHSAAddAtt.pack_to)
     sent_pred_loss_coef: float = 0.4
     sent_div_loss_coef: float = 10.0
     late_fusion: bool = False
@@ -64,6 +65,7 @@ class SentiRec(nn.Module):
                 query_dim=self.query_dim,
                 dropout=self.dropout,
                 pretrained=self.pretrained_embeddings,
+                pack_to=self.pack_titles,
             )
         if not self.late_fusion:
             self.user_encoder = NRMSUserEncoder(

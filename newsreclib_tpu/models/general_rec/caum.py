@@ -46,6 +46,7 @@ class CAUM(nn.Module):
     entity_num_heads: int = 20
     query_dim: int = 200
     dropout: float = 0.2
+    pack_titles: int = 0  # segment-ID packing (MHSAAddAtt.pack_to)
     user_vector_dim: int = 400
     num_filters: int = 400
     dense_att_hidden_dim1: int = 400
@@ -66,6 +67,7 @@ class CAUM(nn.Module):
             query_dim=self.query_dim,
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
+            pack_to=self.pack_titles,
         )
         entity_encoder = EntityAddAtt(
             vocab_size=self.entity_vocab_size,

@@ -46,6 +46,7 @@ class MINER(nn.Module):
     num_heads: int = 15  # MHSA tower only
     query_dim: int = 200
     dropout: float = 0.2
+    pack_titles: int = 0  # segment-ID packing (MHSAAddAtt.pack_to)
     use_categ_bias: bool = True
     categ_embed_dim: int = 100
     num_context_codes: int = 32
@@ -67,6 +68,7 @@ class MINER(nn.Module):
                 query_dim=self.query_dim,
                 dropout=self.dropout,
                 pretrained=self.pretrained_embeddings,
+                pack_to=self.pack_titles,
             )
         self.reduce_dim = nn.Dense(self.news_embed_dim)
         self.reduce_dropout = nn.Dropout(self.dropout)

@@ -38,6 +38,7 @@ class MINS(nn.Module):
     num_heads: int = 15
     query_dim: int = 200
     dropout: float = 0.2
+    pack_titles: int = 0  # segment-ID packing (MHSAAddAtt.pack_to)
     num_filters: Optional[int] = None  # defaults to the news dim (= t_dim)
     num_gru_channels: int = 6
     late_fusion: bool = False
@@ -54,6 +55,7 @@ class MINS(nn.Module):
             query_dim=self.query_dim,
             dropout=self.dropout,
             pretrained=self.pretrained_embeddings,
+            pack_to=self.pack_titles,
         )
         t_dim = (
             self.text_encoder_dim
