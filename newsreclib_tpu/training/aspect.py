@@ -138,6 +138,7 @@ def run_aspect_training(cfg: Dict, mind, info, loggers, out_dir: str) -> Dict[st
     limit_val = tc.get("limit_eval_batches")
     best, bad, gstep = None, 0, 0
     history: Dict[str, float] = {}
+    log_every = tc.get("log_every_n_steps", 50)
     for epoch in range(tc.get("max_epochs", 20)):
         losses = []
         for i, nb in enumerate(train_batcher.epoch(epoch)):
@@ -146,6 +147,12 @@ def run_aspect_training(cfg: Dict, mind, info, loggers, out_dir: str) -> Dict[st
             state, metrics = train_step(state, nb)
             losses.append(metrics["loss"])
             gstep += 1
+            if i % log_every == 0:
+                # keep stdout alive during first-epoch compiles: the matrix
+                # runner's stall watchdog kills on log silence (an epoch-0
+                # A-module run came within 1s of the 720s limit, round 4)
+                log.info("aspect step %d: epoch=%d train/loss=%.4f",
+                         gstep, epoch, float(metrics["loss"]))
         val_losses = []
         for i, nb in enumerate(val_batcher.epoch(epoch)):
             if limit_val and i >= limit_val:
