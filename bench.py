@@ -173,7 +173,9 @@ def main() -> None:
     log(f"device: {dev.platform} {dev.device_kind}")
     rng = np.random.default_rng(0)
 
-    model = NRMS(vocab_size=VOCAB)  # canonical dims
+    # canonical dims; pack_titles=128 is the production default (factory) —
+    # segment-ID packing, numerically exact (test_mhsa_packing_exact)
+    model = NRMS(vocab_size=VOCAB, pack_titles=128)
     cfg = SyntheticConfig(vocab_size=VOCAB, title_len=TITLE)
     init_batch = make_batch(
         rng, batch_size=64, hist_len=HIST, num_candidates=5, unique_news=256,
@@ -270,23 +272,26 @@ def main() -> None:
     log(f"train step: {tdt*1e3:.2f} ms ({256/tdt:.0f} impressions/s/chip, "
         f"MFU {train_mfu*100:.1f}%); unsplit L=30: {tdt_u*1e3:.2f} ms")
 
-    # ---- round 4: article packing (segment-ID attention, VERDICT r3 #5) ----
-    # Same params, packed layout: P=pack_to//L short titles share one
-    # attention sequence behind a block-diagonal mask (exactness pinned by
-    # tests/test_components.py::test_mhsa_packing_exact).
-    model_packed = NRMS(vocab_size=VOCAB, pack_titles=128)
-    state_packed = state.replace(apply_fn=model_packed.apply)
-    jax.block_until_ready(eval_step(state_packed, eval_batch))
-    dt_p = timeit_pipelined(eval_step, state_packed, eval_batch, steps=20)
+    # ---- round 4: unpacked comparison (VERDICT r3 #5) ----
+    # The primary rows above run the PRODUCTION default: P=pack_to//L short
+    # titles share one attention sequence behind a block-diagonal mask
+    # (segment-ID packing; exactness pinned by
+    # tests/test_components.py::test_mhsa_packing_exact).  This section
+    # re-measures the same params through the unpacked layout for the
+    # round-over-round delta (BENCH_r03's numbers were unpacked).
+    model_unpacked = NRMS(vocab_size=VOCAB, pack_titles=0)
+    state_unpacked = state.replace(apply_fn=model_unpacked.apply)
+    jax.block_until_ready(eval_step(state_unpacked, eval_batch))
+    dt_p = timeit_pipelined(eval_step, state_unpacked, eval_batch, steps=20)
     tdt_p = timeit_pipelined(
-        lambda s, b: tstep(s, b)[1]["loss"], state_packed, train_batch,
+        lambda s, b: tstep(s, b)[1]["loss"], state_unpacked, train_batch,
         steps=10, warmup=2,
     )
     train_mfu_p = mfu_of(
-        lambda s, b: tstep(s, b)[1]["loss"], (state_packed, train_batch), tdt_p,
+        lambda s, b: tstep(s, b)[1]["loss"], (state_unpacked, train_batch), tdt_p,
         peak=197e12,
     )
-    log(f"packed (seg-ID attention): train {tdt_p*1e3:.2f} ms "
+    log(f"unpacked comparison: train {tdt_p*1e3:.2f} ms "
         f"(MFU {train_mfu_p*100:.1f}%), eval {dt_p*1e3:.2f} ms")
 
     # ---- round 4: PLM tower (VERDICT r3 #4 — the reference's #1 hot loop,
@@ -394,10 +399,12 @@ def main() -> None:
         "eval_ms": round(dt * 1e3, 2),
         "eval_ms_unsplit_L30": round(dt_u * 1e3, 2),
         "title_len_dist": "poisson(11) clipped [4,30] (r02: uniform[5,30])",
-        # round 4: segment-ID article packing (same params, packed layout)
-        "train_ms_packed": round(tdt_p * 1e3, 2),
-        "eval_ms_packed": round(dt_p * 1e3, 2),
-        "train_mfu_packed": round(train_mfu_p, 4),
+        # round 4: the primary train/eval rows run segment-ID packing (the
+        # production default); these are the same params unpacked (the r03
+        # layout) for the round-over-round delta
+        "train_ms_unpacked": round(tdt_p * 1e3, 2),
+        "eval_ms_unpacked": round(dt_p * 1e3, 2),
+        "train_mfu_unpacked": round(train_mfu_p, 4),
         # round 4: PLM tower (12-layer random-init, tokenizer_max_len 96)
         "plm_train_ms": round(plm_tdt * 1e3, 2),
         "plm_train_mfu": round(plm_train_mfu, 4),

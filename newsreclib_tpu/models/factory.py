@@ -155,7 +155,7 @@ def build_model(cfg: Dict, info: DataInfo):
             query_dim=cfg.get("query_dim", 200),
             dropout=d,
             text_encoder_module=plm_tower,
-            pack_titles=cfg.get("pack_titles", 0),
+            pack_titles=cfg.get("pack_titles", 128),
         )
     if name == "naml":
         return general_rec.NAML(
@@ -215,7 +215,7 @@ def build_model(cfg: Dict, info: DataInfo):
         )
     if name == "caum":
         return general_rec.CAUM(
-            pack_titles=cfg.get("pack_titles", 0),
+            pack_titles=cfg.get("pack_titles", 128),
             **_common(cfg, info),
             **plm_kwargs,
             entity_vocab_size=info.entity_vocab_size,
@@ -236,7 +236,7 @@ def build_model(cfg: Dict, info: DataInfo):
         )
     if name == "mins":
         return general_rec.MINS(
-            pack_titles=cfg.get("pack_titles", 0),
+            pack_titles=cfg.get("pack_titles", 128),
             **_common(cfg, info),
             **plm_kwargs,
             num_categories=info.num_categories,
@@ -280,7 +280,7 @@ def build_model(cfg: Dict, info: DataInfo):
         )
     if name == "miner":
         return general_rec.MINER(
-            pack_titles=cfg.get("pack_titles", 0),
+            pack_titles=cfg.get("pack_titles", 128),
             **_common(cfg, info),
             text_encoder_module=plm_tower,
             num_categories=info.num_categories,
@@ -300,7 +300,7 @@ def build_model(cfg: Dict, info: DataInfo):
         from newsreclib_tpu.models import fair_rec
 
         return fair_rec.SentiRec(
-            pack_titles=cfg.get("pack_titles", 0),
+            pack_titles=cfg.get("pack_titles", 128),
             **_common(cfg, info),
             **plm_kwargs,
             embed_dim=cfg.get("embed_dim", 300),
@@ -368,7 +368,7 @@ def build_senti_debias(cfg: Dict, info: DataInfo):
         plm_tower, _pending_plm_params, plm_dim = _build_plm_tower(cfg)
         plm_kwargs = {"text_encoder_module": plm_tower, "text_encoder_dim": plm_dim}
     gen = fair_rec.SentiDebiasGenerator(
-        pack_titles=cfg.get("pack_titles", 0),
+        pack_titles=cfg.get("pack_titles", 128),
         **plm_kwargs,
         vocab_size=info.vocab_size,
         num_sent_classes=info.num_sent_classes - 1,
