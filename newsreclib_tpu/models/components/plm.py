@@ -88,12 +88,13 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
     position_offset: int = 0  # RoBERTa uses 2 (pad_token_id + 1)
-    # rematerialize each layer in the backward pass: a 12-layer tower's
-    # saved residuals dominate train-step HBM (unlike the GloVe towers,
-    # where the footprint is transient padding — see MANNeRCR docstring);
-    # per-layer remat trades ~1/3 extra encoder FLOPs for ~num_layers x
-    # smaller activation memory
-    remat: bool = True
+    # optional per-layer rematerialization.  Measured on the v5e (round 4):
+    # XLA:TPU's own scheduling already bounds the backward working set at
+    # news-encoder shapes — temp HBM is IDENTICAL with and without remat
+    # (0.17G at U=512, 0.85G at U=2048, 1.90G at U=4096, L<=96) while remat
+    # costs +29% step time (191.8 vs 148.9 ms).  Default off; enable only
+    # for shapes that actually OOM (then verify with benchmarks/hbm_probe).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, tokens, mask=None, deterministic: bool = True):

@@ -130,9 +130,10 @@ class MANNeRCR(nn.Module):
 
     ``remat``: optionally wrap the news tower in ``nn.remat``.  Measured at
     statfix/GloVe scale this does NOT reduce the train step's temp HBM
-    (6.07G at U=4096 either way — the footprint is the transient padded
-    working set, not saved residuals), so it defaults off; enable it for PLM
-    towers where 12 layers of genuine residuals dominate.
+    (6.07G at U=4096 either way), and the same holds for the 12-layer PLM
+    tower (identical temp up to U=4096, ``plm.py::TransformerEncoder``):
+    XLA:TPU's own scheduling already bounds the backward working set at
+    news-encoder shapes.  Default off; a knob for shapes that genuinely OOM.
     """
 
     vocab_size: int
