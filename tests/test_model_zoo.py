@@ -129,3 +129,29 @@ def test_loss_decreases(name):
             first = float(metrics["loss"])
         last = float(metrics["loss"])
     assert last < first, (first, last)
+
+
+def test_packed_models_match_unpacked():
+    """pack_titles must be score-identical (deterministic) across the
+    MHSA-text zoo — insurance that the packed layout stays exact as models
+    evolve.  Uses pack_to=48 so P=4 divides the test's U=32 (the production
+    128 falls back untriggered at title_len 12)."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng, batch_size=8, hist_len=6, num_candidates=5,
+                       unique_news=32, cfg=CFG)
+    for name in ("nrms", "mins", "caum", "miner"):
+        m_plain = MODELS[name]()
+        m_packed = dataclasses.replace(m_plain, pack_titles=48)
+        params = m_plain.init({"params": jax.random.key(0)}, batch,
+                              deterministic=True)["params"]
+        s0, _ = m_plain.apply({"params": params}, batch, deterministic=True)
+        s1, _ = m_packed.apply({"params": params}, batch, deterministic=True)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=3e-5,
+                                   err_msg=name)
+    # the factory default IS packed
+    from newsreclib_tpu.models.factory import DataInfo, build_model
+
+    m = build_model({"name": "nrms"}, DataInfo(vocab_size=VOCAB))
+    assert m.pack_titles == 128
