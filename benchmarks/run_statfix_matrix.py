@@ -94,6 +94,16 @@ def _run_watched(cmd: list, log_path: str) -> int:
 def _relink(link: str, target_rel: str) -> None:
     if os.path.islink(link):
         os.unlink(link)
+    elif os.path.isdir(link):
+        # pre-round-4 layout left a REAL checkpoints dir here; keep it as
+        # evidence but move it aside — dependent configs (MANNeR ensemble)
+        # must resolve the stable path to the attempt that just SUCCEEDED,
+        # not to stale weights
+        k = 0
+        while os.path.exists(f"{link}.pre_attempt_{k}"):
+            k += 1
+        os.rename(link, f"{link}.pre_attempt_{k}")
+        print(f"moved stale real dir {link} -> {link}.pre_attempt_{k}", flush=True)
     if not os.path.exists(link):
         os.symlink(target_rel, link)
 

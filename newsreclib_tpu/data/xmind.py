@@ -154,34 +154,53 @@ class XMINDData:
     def _ensure_extended_vocab(self):
         if getattr(self, "_ext_vocab", None) is not None:
             return self._ext_vocab
+        import json
+
         from newsreclib_tpu.data.mind import _load_idx_map
 
         base = _load_idx_map(self.mind.map_path("word2index"))
         map_path = os.path.join(self.lang_dir(), "word2index.tsv")
-        if os.path.exists(map_path):
-            ext = _load_idx_map(map_path)
-        else:
-            from newsreclib_tpu.data.tokenize import word_tokenize
+        meta_path = os.path.join(self.lang_dir(), "word2index.meta.json")
+        # cache is valid only if it was built over the SAME base vocab (a
+        # regenerated fixture shifts n_base and would misalign the extended
+        # matrix rows) — the meta sidecar pins that
+        if os.path.exists(map_path) and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("n_base") == len(base):
+                ext = _load_idx_map(map_path)
+                self._ext_vocab = (ext, len(base))
+                return self._ext_vocab
 
-            ext = dict(base)
-            for raw_split in ("train", "dev"):
-                p = self.xmind_news_path(raw_split)
-                if not os.path.exists(p):
-                    continue
-                xnews = pd.read_table(
-                    p, header=None, names=["nid", "title", "abstract"],
-                    usecols=range(3),
-                )
-                xnews["abstract"] = xnews["abstract"].fillna("")
-                for col in ("title", "abstract"):
-                    for text in xnews[col]:
-                        for w in word_tokenize(text):
-                            if w not in ext:
-                                ext[w] = len(ext) + 1
+        from newsreclib_tpu.data.tokenize import word_tokenize
+
+        ext = dict(base)
+        found_any = False
+        for raw_split in ("train", "dev"):
+            p = self.xmind_news_path(raw_split)
+            if not os.path.exists(p):
+                continue
+            found_any = True
+            xnews = pd.read_table(
+                p, header=None, names=["nid", "title", "abstract"],
+                usecols=range(3),
+            )
+            xnews["abstract"] = xnews["abstract"].fillna("")
+            for col in ("title", "abstract"):
+                for text in xnews[col]:
+                    for w in word_tokenize(text):
+                        if w not in ext:
+                            ext[w] = len(ext) + 1
+        if found_any:
+            # persist only a map that actually saw translated news: caching
+            # the base-only map would permanently tokenize later-arriving
+            # translations to OOV zeros
             os.makedirs(os.path.dirname(map_path), exist_ok=True)
             pd.DataFrame(ext.items(), columns=["word", "index"]).to_csv(
                 map_path, sep="\t", index=False
             )
+            with open(meta_path, "w") as f:
+                json.dump({"n_base": len(base)}, f)
         self._ext_vocab = (ext, len(base))
         return self._ext_vocab
 
@@ -205,6 +224,8 @@ class XMINDData:
         rows = rng.normal(size=(n_new, dim)).astype(np.float32)
         aligned = os.path.join(self.lang_dir(), "aligned_embeddings.txt")
         if os.path.exists(aligned):
+            import logging
+
             hit = 0
             with open(aligned, encoding="utf-8") as f:
                 for line in f:
@@ -217,6 +238,14 @@ class XMINDData:
                             parts[-dim:], dtype=np.float32
                         )
                         hit += 1
+            log = logging.getLogger("newsreclib_tpu")
+            log.info("xMIND aligned embeddings: %d/%d translated words matched",
+                     hit, n_new)
+            if n_new and hit == 0:
+                log.warning(
+                    "aligned_embeddings.txt matched ZERO translated words — "
+                    "zero-shot transfer will not work (format drift?)"
+                )
         matrix = np.vstack([base, rows])
         np.save(out, matrix)
         return self.lang_dir()

@@ -87,6 +87,9 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = nn.Dense(3 * d, name="qkv")(x)  # fused in-projection
 
         if self.use_pallas and x.ndim == 3:
+            # the fused kernel has no block-mask input — silently dropping
+            # pair_mask would leak cross-article attention (packing)
+            assert pair_mask is None, "use_pallas does not support pair_mask"
             from newsreclib_tpu.ops.mhsa import fused_small_mhsa
 
             m = mask if mask is not None else jnp.ones(x.shape[:2], dtype=bool)

@@ -324,7 +324,7 @@ def build_model(cfg: Dict, info: DataInfo):
             query_dim=cfg.get("query_dim", 200),
             dropout=d,
             late_fusion=cfg.get("late_fusion", True),
-            remat=cfg.get("remat", True),
+            remat=cfg.get("remat", False),
             pretrained_embeddings=info.pretrained_embeddings,
             pretrained_entity_embeddings=info.pretrained_entity_embeddings,
         )

@@ -376,14 +376,27 @@ def evaluate_ensemble(
     from newsreclib_tpu.serving import CachedScorer
 
     names = sorted(aspect_modules)
+
+    # Column offsets in the shared table come from each module's ACTUAL
+    # output width, probed with a 1-row encode — ``text_embed_dim`` lies for
+    # PLM-mode modules without an entity tower (the Dense projection to
+    # text_embed_dim only runs when entity vectors are concatenated, so the
+    # raw PLM hidden dim flows through).
+    probe = store.features_for(np.arange(1))
+
+    def _out_dim(model, params, method=None) -> int:
+        kwargs = {"method": method} if method else {}
+        v = model.apply({"params": params}, probe, deterministic=True, **kwargs)
+        return int(v.shape[-1])
+
     ens = MANNeREnsemble(
         cr=cr_model,
         aspect_names=tuple(names),
         aspect_towers=tuple(aspect_modules[n][0] for n in names),
         aspect_weights=tuple(float(aspect_modules[n][2]) for n in names),
-        cr_dim=cr_model.text_embed_dim,
+        cr_dim=_out_dim(cr_model, cr_params, "encode_news"),
         aspect_dims=tuple(
-            aspect_modules[n][0].text_embed_dim for n in names
+            _out_dim(aspect_modules[n][0], aspect_modules[n][1]) for n in names
         ),
     )
     # flax names submodules by their field names: "cr" + "aspect_towers_<i>"

@@ -163,13 +163,16 @@ def main() -> None:
         # only rank 0 gets metrics back
         eval_metrics = trainer.evaluate(val_batcher, "val")
 
+    # _gather_global is a COLLECTIVE (its contract: every process calls it)
+    # — run it on all ranks before the rank gate, like trainer.fit does
+    full_params = (
+        trainer._gather_global(trainer.state.params)
+        if args.model_axis > 1 else trainer.state.params
+    )
     if args.process_id == 0:
         # full-table gather parity: with a model axis the local copy must
         # hold the FULL params, not rank 0's row shard
-        gathered = trainer._to_local(
-            trainer._gather_global(trainer.state.params)
-            if args.model_axis > 1 else trainer.state.params
-        )
+        gathered = trainer._to_local(full_params)
         param_abssum = float(sum(
             np.sum(np.abs(np.asarray(leaf)))
             for leaf in jax.tree.leaves(gathered)
