@@ -145,6 +145,7 @@ def preflight(timeout_s: int = 180, attempts: int = 3) -> bool:
 
 
 def main() -> None:
+    t_start = time.time()
     if not preflight():
         print(
             json.dumps(
@@ -204,6 +205,16 @@ def main() -> None:
         f"({CORPUS} article corpus) -> {cached_ips:.0f} impressions/s/chip; "
         f"sample metric mrr={metrics.get('mrr', float('nan')):.4f}"
     )
+    # provisional headline to stderr: if a driver-side timeout kills the
+    # process mid-way through the (longer) secondary sections, the tail
+    # still carries a parseable result; the final stdout line supersedes it
+    log(json.dumps({
+        "metric": "impressions_scored_per_sec_per_chip",
+        "value": round(cached_ips, 1),
+        "unit": "impressions/s",
+        "vs_baseline": round(cached_ips / PYTORCH_GPU_BASELINE_IPS, 2),
+        "provisional": True,
+    }))
 
     # ---- secondary: uncached per-batch eval (fresh unique news each batch) ----
     from newsreclib_tpu.data.batching import split_news_by_length
@@ -272,6 +283,21 @@ def main() -> None:
     log(f"train step: {tdt*1e3:.2f} ms ({256/tdt:.0f} impressions/s/chip, "
         f"MFU {train_mfu*100:.1f}%); unsplit L=30: {tdt_u*1e3:.2f} ms")
 
+    extra: dict = {}
+
+    def optional(name, budget_s, fn):
+        """Optional sections must never zero the headline: skip when the
+        wall budget is spent (slow preflight/tunnel), swallow-and-log
+        failures."""
+        if time.time() - t_start > budget_s:
+            log(f"skipping {name}: wall budget spent "
+                f"({time.time() - t_start:.0f}s elapsed)")
+            return
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — diagnostics only
+            log(f"{name} FAILED (continuing): {e!r}")
+
     # ---- round 4: unpacked comparison (VERDICT r3 #5) ----
     # The primary rows above run the PRODUCTION default: P=pack_to//L short
     # titles share one attention sequence behind a block-diagonal mask
@@ -279,109 +305,137 @@ def main() -> None:
     # tests/test_components.py::test_mhsa_packing_exact).  This section
     # re-measures the same params through the unpacked layout for the
     # round-over-round delta (BENCH_r03's numbers were unpacked).
-    model_unpacked = NRMS(vocab_size=VOCAB, pack_titles=0)
-    state_unpacked = state.replace(apply_fn=model_unpacked.apply)
-    jax.block_until_ready(eval_step(state_unpacked, eval_batch))
-    dt_p = timeit_pipelined(eval_step, state_unpacked, eval_batch, steps=20)
-    tdt_p = timeit_pipelined(
-        lambda s, b: tstep(s, b)[1]["loss"], state_unpacked, train_batch,
-        steps=10, warmup=2,
-    )
-    train_mfu_p = mfu_of(
-        lambda s, b: tstep(s, b)[1]["loss"], (state_unpacked, train_batch), tdt_p,
-        peak=197e12,
-    )
-    log(f"unpacked comparison: train {tdt_p*1e3:.2f} ms "
-        f"(MFU {train_mfu_p*100:.1f}%), eval {dt_p*1e3:.2f} ms")
+    def run_unpacked():
+        model_unpacked = NRMS(vocab_size=VOCAB, pack_titles=0)
+        state_unpacked = state.replace(apply_fn=model_unpacked.apply)
+        jax.block_until_ready(eval_step(state_unpacked, eval_batch))
+        dt_p = timeit_pipelined(eval_step, state_unpacked, eval_batch, steps=20)
+        tdt_p = timeit_pipelined(
+            lambda s, b: tstep(s, b)[1]["loss"], state_unpacked, train_batch,
+            steps=10, warmup=2,
+        )
+        train_mfu_p = mfu_of(
+            lambda s, b: tstep(s, b)[1]["loss"], (state_unpacked, train_batch),
+            tdt_p, peak=197e12,
+        )
+        log(f"unpacked comparison: train {tdt_p*1e3:.2f} ms "
+            f"(MFU {train_mfu_p*100:.1f}%), eval {dt_p*1e3:.2f} ms")
+        extra.update(
+            train_ms_unpacked=round(tdt_p * 1e3, 2),
+            eval_ms_unpacked=round(dt_p * 1e3, 2),
+            train_mfu_unpacked=round(train_mfu_p, 4),
+        )
+
+    optional("unpacked comparison", 900, run_unpacked)
 
     # ---- round 4: PLM tower (VERDICT r3 #4 — the reference's #1 hot loop,
     # text.py:15-109).  12-layer random-init BERT-base-shaped transformer
     # (offline: no HF weights reachable; shapes/MFU are init-independent). ----
-    from newsreclib_tpu.models.components.plm import PLMTextEncoder, TransformerEncoder
-
-    PLM_LEN, PLM_SPLIT = 96, 32
-    plm_tower = PLMTextEncoder(
-        encoder=TransformerEncoder(vocab_size=30522),
-        use_mhsa=True, num_heads=16, query_dim=200,
-    )
-    plm_model = NRMS(vocab_size=VOCAB, num_heads=16, text_encoder_module=plm_tower)
-    plm_cfg = SyntheticConfig(vocab_size=30000, title_len=PLM_LEN)
-
-    def plm_batch(batch_size, num_candidates, unique_news):
-        b = make_batch(
-            rng, batch_size=batch_size, hist_len=HIST,
-            num_candidates=num_candidates, unique_news=unique_news,
-            cfg=plm_cfg, with_abstract=False, with_entities=False,
-        )
-        title = np.asarray(b.news.title).copy()
-        lens = np.clip(rng.poisson(24.0, size=title.shape[0]), 8, PLM_LEN)
-        col = np.arange(PLM_LEN)[None, :]
-        title = np.where(col < lens[:, None], np.maximum(title, 2), 0)
-        title[0] = 0
-        b = b._replace(news=b.news._replace(title=title, title_mask=title != 0))
-        news, news2, h, c = split_news_by_length(
-            b.news, b.hist_idx, b.cand_idx, PLM_SPLIT
-        )
-        return jax.device_put(
-            b._replace(news=news, news2=news2, hist_idx=h, cand_idx=c)
+    def run_plm():
+        from newsreclib_tpu.models.components.plm import (
+            PLMTextEncoder,
+            TransformerEncoder,
         )
 
-    plm_train_b = plm_batch(64, 5, 512)
-    plm_state = create_train_state(
-        plm_model, plm_train_b, jax.random.key(1), make_optimizer()
-    )
-    jax.block_until_ready(tstep(plm_state, plm_train_b)[1]["loss"])
-    plm_tdt = timeit_pipelined(
-        lambda s, b: tstep(s, b)[1]["loss"], plm_state, plm_train_b,
-        steps=10, warmup=2,
-    )
-    plm_train_mfu = mfu_of(
-        lambda s, b: tstep(s, b)[1]["loss"], (plm_state, plm_train_b), plm_tdt,
-        peak=197e12,
-    )
-    plm_eval_b = plm_batch(64, CANDS, 1024)
-    jax.block_until_ready(eval_step(plm_state, plm_eval_b))
-    plm_dt = timeit_pipelined(eval_step, plm_state, plm_eval_b, steps=10)
-    plm_eval_mfu = mfu_of(eval_step, (plm_state, plm_eval_b), plm_dt, peak=197e12)
-    log(f"PLM tower (12-layer, L={PLM_LEN}): train {plm_tdt*1e3:.1f} ms "
-        f"(B=64, MFU {plm_train_mfu*100:.1f}%), uncached eval {plm_dt*1e3:.1f} ms "
-        f"(MFU {plm_eval_mfu*100:.1f}%)")
+        PLM_LEN, PLM_SPLIT = 96, 32
+        plm_tower = PLMTextEncoder(
+            encoder=TransformerEncoder(vocab_size=30522),
+            use_mhsa=True, num_heads=16, query_dim=200,
+        )
+        plm_model = NRMS(vocab_size=VOCAB, num_heads=16,
+                         text_encoder_module=plm_tower)
+        plm_cfg = SyntheticConfig(vocab_size=30000, title_len=PLM_LEN)
 
-    # PLM cached serving: smaller corpus (encode is ~3.5 GFLOP/article)
-    PLM_CORPUS, PLM_NIMP = 8192, 4096
-    plm_title = np.zeros((PLM_CORPUS + 1, PLM_LEN), dtype=np.int32)
-    plens = np.clip(rng.poisson(24.0, size=PLM_CORPUS), 8, PLM_LEN)
-    for i in range(PLM_CORPUS):
-        plm_title[i + 1, : plens[i]] = rng.integers(2, 30000, size=plens[i])
-    from newsreclib_tpu.data.batching import Impressions
-    from newsreclib_tpu.data.news_store import NewsStore
+        def plm_batch(batch_size, num_candidates, unique_news):
+            b = make_batch(
+                rng, batch_size=batch_size, hist_len=HIST,
+                num_candidates=num_candidates, unique_news=unique_news,
+                cfg=plm_cfg, with_abstract=False, with_entities=False,
+            )
+            title = np.asarray(b.news.title).copy()
+            lens = np.clip(rng.poisson(24.0, size=title.shape[0]), 8, PLM_LEN)
+            col = np.arange(PLM_LEN)[None, :]
+            title = np.where(col < lens[:, None], np.maximum(title, 2), 0)
+            title[0] = 0
+            b = b._replace(news=b.news._replace(title=title, title_mask=title != 0))
+            news, news2, h, c = split_news_by_length(
+                b.news, b.hist_idx, b.cand_idx, PLM_SPLIT
+            )
+            return jax.device_put(
+                b._replace(news=news, news2=news2, hist_idx=h, cand_idx=c)
+            )
 
-    plm_store = NewsStore(
-        nid2row={f"N{i}": i for i in range(1, PLM_CORPUS + 1)}, title=plm_title,
-    )
-    ph = [rng.integers(1, PLM_CORPUS + 1, size=int(rng.integers(5, HIST + 1)))
-          for _ in range(PLM_NIMP)]
-    pc = [rng.integers(1, PLM_CORPUS + 1, size=CANDS) for _ in range(PLM_NIMP)]
-    plbl = []
-    for c in pc:
-        l = np.zeros(CANDS, dtype=np.int8)
-        l[rng.integers(0, CANDS)] = 1
-        plbl.append(l)
-    plm_imp = Impressions.from_lists(ph, pc, plbl, np.ones(PLM_NIMP, dtype=np.int32))
-    plm_params_bf16 = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        plm_state.params,
-    )
-    plm_scorer = CachedScorer(plm_model, split_title_len=PLM_SPLIT)
-    plm_scorer.evaluate(plm_params_bf16, plm_store, plm_imp, max_history_len=HIST,
-                        target_cells=16384, encode_batch=1024, collect_auc=False)
-    t0 = time.time()
-    plm_scorer.evaluate(plm_params_bf16, plm_store, plm_imp, max_history_len=HIST,
-                        target_cells=16384, encode_batch=1024, collect_auc=False)
-    plm_epoch_s = time.time() - t0
-    plm_ips = PLM_NIMP / plm_epoch_s
-    log(f"PLM cached serving epoch: {plm_epoch_s:.3f}s for {PLM_NIMP} impressions "
-        f"({PLM_CORPUS} article corpus) -> {plm_ips:.0f} impressions/s/chip")
+        plm_train_b = plm_batch(64, 5, 512)
+        plm_state = create_train_state(
+            plm_model, plm_train_b, jax.random.key(1), make_optimizer()
+        )
+        jax.block_until_ready(tstep(plm_state, plm_train_b)[1]["loss"])
+        plm_tdt = timeit_pipelined(
+            lambda s, b: tstep(s, b)[1]["loss"], plm_state, plm_train_b,
+            steps=10, warmup=2,
+        )
+        plm_train_mfu = mfu_of(
+            lambda s, b: tstep(s, b)[1]["loss"], (plm_state, plm_train_b),
+            plm_tdt, peak=197e12,
+        )
+        plm_eval_b = plm_batch(64, CANDS, 1024)
+        jax.block_until_ready(eval_step(plm_state, plm_eval_b))
+        plm_dt = timeit_pipelined(eval_step, plm_state, plm_eval_b, steps=10)
+        plm_eval_mfu = mfu_of(eval_step, (plm_state, plm_eval_b), plm_dt,
+                              peak=197e12)
+        log(f"PLM tower (12-layer, L={PLM_LEN}): train {plm_tdt*1e3:.1f} ms "
+            f"(B=64, MFU {plm_train_mfu*100:.1f}%), uncached eval "
+            f"{plm_dt*1e3:.1f} ms (MFU {plm_eval_mfu*100:.1f}%)")
+        extra.update(
+            plm_train_ms=round(plm_tdt * 1e3, 2),
+            plm_train_mfu=round(plm_train_mfu, 4),
+            plm_eval_ms=round(plm_dt * 1e3, 2),
+            plm_eval_mfu=round(plm_eval_mfu, 4),
+        )
+
+        # PLM cached serving: smaller corpus (encode is ~3.5 GFLOP/article)
+        PLM_CORPUS, PLM_NIMP = 8192, 4096
+        plm_title = np.zeros((PLM_CORPUS + 1, PLM_LEN), dtype=np.int32)
+        plens = np.clip(rng.poisson(24.0, size=PLM_CORPUS), 8, PLM_LEN)
+        for i in range(PLM_CORPUS):
+            plm_title[i + 1, : plens[i]] = rng.integers(2, 30000, size=plens[i])
+        from newsreclib_tpu.data.batching import Impressions
+        from newsreclib_tpu.data.news_store import NewsStore
+
+        plm_store = NewsStore(
+            nid2row={f"N{i}": i for i in range(1, PLM_CORPUS + 1)},
+            title=plm_title,
+        )
+        ph = [rng.integers(1, PLM_CORPUS + 1, size=int(rng.integers(5, HIST + 1)))
+              for _ in range(PLM_NIMP)]
+        pc = [rng.integers(1, PLM_CORPUS + 1, size=CANDS) for _ in range(PLM_NIMP)]
+        plbl = []
+        for c in pc:
+            l = np.zeros(CANDS, dtype=np.int8)
+            l[rng.integers(0, CANDS)] = 1
+            plbl.append(l)
+        plm_imp = Impressions.from_lists(ph, pc, plbl,
+                                         np.ones(PLM_NIMP, dtype=np.int32))
+        plm_params_bf16 = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            plm_state.params,
+        )
+        plm_scorer = CachedScorer(plm_model, split_title_len=PLM_SPLIT)
+        plm_scorer.evaluate(plm_params_bf16, plm_store, plm_imp,
+                            max_history_len=HIST, target_cells=16384,
+                            encode_batch=1024, collect_auc=False)
+        t0 = time.time()
+        plm_scorer.evaluate(plm_params_bf16, plm_store, plm_imp,
+                            max_history_len=HIST, target_cells=16384,
+                            encode_batch=1024, collect_auc=False)
+        plm_epoch_s = time.time() - t0
+        plm_ips = PLM_NIMP / plm_epoch_s
+        log(f"PLM cached serving epoch: {plm_epoch_s:.3f}s for {PLM_NIMP} "
+            f"impressions ({PLM_CORPUS} article corpus) -> "
+            f"{plm_ips:.0f} impressions/s/chip")
+        extra["plm_serving_ips"] = round(plm_ips, 1)
+
+    optional("PLM tower bench", 900, run_plm)
 
     out = {
         "metric": "impressions_scored_per_sec_per_chip",
@@ -399,18 +453,9 @@ def main() -> None:
         "eval_ms": round(dt * 1e3, 2),
         "eval_ms_unsplit_L30": round(dt_u * 1e3, 2),
         "title_len_dist": "poisson(11) clipped [4,30] (r02: uniform[5,30])",
-        # round 4: the primary train/eval rows run segment-ID packing (the
-        # production default); these are the same params unpacked (the r03
-        # layout) for the round-over-round delta
-        "train_ms_unpacked": round(tdt_p * 1e3, 2),
-        "eval_ms_unpacked": round(dt_p * 1e3, 2),
-        "train_mfu_unpacked": round(train_mfu_p, 4),
-        # round 4: PLM tower (12-layer random-init, tokenizer_max_len 96)
-        "plm_train_ms": round(plm_tdt * 1e3, 2),
-        "plm_train_mfu": round(plm_train_mfu, 4),
-        "plm_eval_ms": round(plm_dt * 1e3, 2),
-        "plm_eval_mfu": round(plm_eval_mfu, 4),
-        "plm_serving_ips": round(plm_ips, 1),
+        # round 4 optional sections: unpacked comparison + PLM tower rows
+        # (absent if the wall budget was spent — see `optional`)
+        **extra,
     }
     try:
         import os
