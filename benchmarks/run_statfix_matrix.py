@@ -108,7 +108,8 @@ def _relink(link: str, target_rel: str) -> None:
         os.symlink(target_rel, link)
 
 
-def run_one(exp: str, name: str, script: str = "train.py") -> dict:
+def run_one(exp: str, name: str, script: str = "train.py",
+            overrides: "list[str] | tuple" = ()) -> dict:
     base_dir = os.path.join("outputs", f"statfix_{name}")
     abs_base = os.path.join(REPO, base_dir)
     marker = os.path.join(abs_base, "final_metrics.json")
@@ -128,7 +129,7 @@ def run_one(exp: str, name: str, script: str = "train.py") -> dict:
         os.makedirs(os.path.join(REPO, out_dir))
         log_path = os.path.join(REPO, out_dir, "run.log")
         cmd = [sys.executable, "-u", script, f"experiment={exp}",
-               f"output_dir={out_dir}"]
+               f"output_dir={out_dir}", *overrides]
         rc = _run_watched(cmd, log_path)
         if rc == 0:
             break
@@ -181,7 +182,28 @@ def run_one(exp: str, name: str, script: str = "train.py") -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
+    ap.add_argument("--seeds", default=None,
+                    help="comma list; with --exp runs seed replicates into "
+                         "outputs/statfix_seeds/<name>_s<seed>/ (VERDICT r4 "
+                         "task 2: measure run-to-run variance)")
+    ap.add_argument("--exp", default=None, help="experiment config for --seeds")
+    ap.add_argument("--name", default=None, help="short name for --seeds dirs")
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra key=value overrides passed to every run")
     args = ap.parse_args()
+    if args.seeds:
+        assert args.exp, "--seeds requires --exp"
+        name = args.name or args.exp.split("_")[0]
+        log_path = os.path.join(REPO, "outputs", "seed_band.jsonl")
+        os.makedirs(os.path.dirname(log_path), exist_ok=True)
+        for s in args.seeds.split(","):
+            row = run_one(args.exp, f"seeds/{name}_s{s}",
+                          overrides=[f"seed={s}", *args.override])
+            row["seed"] = int(s)
+            print(json.dumps(row)[:400], flush=True)
+            with open(log_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+        return
     only = set(args.only.split(",")) if args.only else None
     log_path = os.path.join(REPO, "outputs", "statfix_matrix.jsonl")
     os.makedirs(os.path.dirname(log_path), exist_ok=True)

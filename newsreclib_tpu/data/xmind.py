@@ -151,6 +151,20 @@ class XMINDData:
     def _word2index(self):
         return self._ensure_extended_vocab()[0]
 
+    @staticmethod
+    def _base_fingerprint(base: dict) -> str:
+        """Content fingerprint of the base vocab map: a regenerated base
+        with the SAME size but reshuffled word order must invalidate the
+        extended-vocab / extended-matrix caches (ADVICE r4 — the old check
+        pinned only len(base))."""
+        import hashlib
+
+        items = sorted(base.items(), key=lambda kv: kv[1])
+        h = hashlib.sha256(str(len(base)).encode())
+        for w, i in items[:64] + items[-64:]:
+            h.update(f"{w}:{i};".encode())
+        return h.hexdigest()[:16]
+
     def _ensure_extended_vocab(self):
         if getattr(self, "_ext_vocab", None) is not None:
             return self._ext_vocab
@@ -164,10 +178,11 @@ class XMINDData:
         # cache is valid only if it was built over the SAME base vocab (a
         # regenerated fixture shifts n_base and would misalign the extended
         # matrix rows) — the meta sidecar pins that
+        base_fp = self._base_fingerprint(base)
         if os.path.exists(map_path) and os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            if meta.get("n_base") == len(base):
+            if meta.get("n_base") == len(base) and meta.get("base_fp") == base_fp:
                 ext = _load_idx_map(map_path)
                 self._ext_vocab = (ext, len(base))
                 return self._ext_vocab
@@ -200,7 +215,7 @@ class XMINDData:
                 map_path, sep="\t", index=False
             )
             with open(meta_path, "w") as f:
-                json.dump({"n_base": len(base)}, f)
+                json.dump({"n_base": len(base), "base_fp": base_fp}, f)
         self._ext_vocab = (ext, len(base))
         return self._ext_vocab
 
@@ -213,9 +228,20 @@ class XMINDData:
         if not os.path.exists(base_npy):
             return None
         out = os.path.join(self.lang_dir(), "transformed_word_embeddings.npy")
+        out_meta = out + ".meta.json"
         ext, n_base = self._ensure_extended_vocab()
-        if os.path.exists(out):
-            if np.load(out, mmap_mode="r").shape[0] == len(ext) + 1:
+        from newsreclib_tpu.data.mind import _load_idx_map
+
+        base_fp = self._base_fingerprint(_load_idx_map(self.mind.map_path("word2index")))
+        if os.path.exists(out) and os.path.exists(out_meta):
+            import json
+
+            with open(out_meta) as f:
+                m = json.load(f)
+            # same row count is NOT enough: a regenerated base vocab of equal
+            # size would silently misalign every row (ADVICE r4)
+            if (np.load(out, mmap_mode="r").shape[0] == len(ext) + 1
+                    and m.get("base_fp") == base_fp):
                 return self.lang_dir()
         base = np.load(base_npy)
         dim = base.shape[1]
@@ -248,6 +274,10 @@ class XMINDData:
                 )
         matrix = np.vstack([base, rows])
         np.save(out, matrix)
+        import json
+
+        with open(out_meta, "w") as f:
+            json.dump({"base_fp": base_fp, "n_rows": matrix.shape[0]}, f)
         return self.lang_dir()
 
     def impressions(self, split: str) -> Impressions:

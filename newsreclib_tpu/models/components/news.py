@@ -140,6 +140,9 @@ class KCNN(nn.Module):
     num_filters: int = 100
     window_sizes: Sequence[int] = (2, 3, 4)
     use_context: bool = False
+    # ablation switch (not a reference knob): word-channel-only KCNN, used to
+    # measure the entity channel's AUC contribution on statfix v2 (VERDICT r4)
+    use_entities: bool = True
     pretrained_words: Optional[np.ndarray] = None
     pretrained_entities: Optional[np.ndarray] = None
     pretrained_context: Optional[np.ndarray] = None
@@ -163,16 +166,18 @@ class KCNN(nn.Module):
         words = TokenEmbedding(
             self.word_vocab_size, self.word_embed_dim, self.pretrained_words, name="word_emb"
         )(tokens)
-        ents = TokenEmbedding(
-            self.entity_vocab_size,
-            self.entity_embed_dim,
-            self.pretrained_entities,
-            name="entity_emb",
-        )(entities)
-        # transform entity embeddings into word space: tanh(Linear)
-        ents_t = jnp.tanh(nn.Dense(self.word_embed_dim, name="entity_transform")(ents))
-        channels = [words, ents_t]
-        if self.use_context:
+        channels = [words]
+        if self.use_entities:
+            ents = TokenEmbedding(
+                self.entity_vocab_size,
+                self.entity_embed_dim,
+                self.pretrained_entities,
+                name="entity_emb",
+            )(entities)
+            # transform entity embeddings into word space: tanh(Linear)
+            ents_t = jnp.tanh(nn.Dense(self.word_embed_dim, name="entity_transform")(ents))
+            channels.append(ents_t)
+        if self.use_context and self.use_entities:
             ctx = TokenEmbedding(
                 self.entity_vocab_size,
                 self.entity_embed_dim,

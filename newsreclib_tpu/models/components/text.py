@@ -65,6 +65,18 @@ class MHSAAddAtt(nn.Module):
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         u, l = tokens.shape[0], tokens.shape[1]
         p = self.pack_to // l if (self.pack_to and tokens.ndim == 2) else 0
+        if self.pack_to and not (p >= 2 and u % p == 0 and mask is not None):
+            # packing is the production default (+48% measured train
+            # throughput); a batcher change breaking the power-of-two
+            # u-bucket invariant must not regress it SILENTLY (ADVICE r4).
+            # This runs at trace time (static shapes) -> once per compile.
+            import logging
+
+            logging.getLogger("newsreclib_tpu").warning(
+                "MHSAAddAtt pack_to=%d fell back to the unpacked path for "
+                "shape U=%d L=%d (P=%d, mask=%s)",
+                self.pack_to, u, l, p, mask is not None,
+            )
         if p >= 2 and u % p == 0 and mask is not None:
             g, pl = u // p, p * l
             xp = x.reshape(g, pl, self.embed_dim)

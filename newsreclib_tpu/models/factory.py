@@ -275,6 +275,7 @@ def build_model(cfg: Dict, info: DataInfo):
             num_filters=cfg.get("num_filters", 100),
             window_sizes=tuple(cfg.get("window_sizes", (1, 2, 3, 4))),
             use_context=cfg.get("use_context", True),
+            use_entities=cfg.get("use_entities", True),
             hidden_dim_dnn=cfg.get("hidden_dim_dnn", 16),
             pretrained_entity_embeddings=info.pretrained_entity_embeddings,
         )

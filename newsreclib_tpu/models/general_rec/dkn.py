@@ -35,6 +35,7 @@ class DKN(nn.Module):
     num_filters: int = 100
     window_sizes: Sequence[int] = (1, 2, 3, 4)
     use_context: bool = True
+    use_entities: bool = True  # ablation switch (see KCNN.use_entities)
     hidden_dim_dnn: int = 16
     late_fusion: bool = False
     pretrained_embeddings: Optional[np.ndarray] = None
@@ -50,6 +51,7 @@ class DKN(nn.Module):
             num_filters=self.num_filters,
             window_sizes=self.window_sizes,
             use_context=self.use_context,
+            use_entities=self.use_entities,
             pretrained_words=self.pretrained_embeddings,
             pretrained_entities=self.pretrained_entity_embeddings,
             pretrained_context=self.pretrained_context_embeddings,

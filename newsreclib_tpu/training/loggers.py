@@ -85,6 +85,46 @@ class TensorBoardLogger:
                 self._writer.add_scalar(k, v, step)
 
 
+class WandbLogger:
+    """Import-guarded Weights & Biases adapter (reference
+    ``configs/logger/many_loggers.yaml:3-6``, ``wandb.yaml``).
+
+    The wandb package is absent from this environment; construction
+    degrades to a logged no-op instead of failing the run (the reference's
+    task_wrapper likewise tolerates a missing/broken wandb by closing it
+    only ``if wandb.run``, ``utils/utils.py:68-96``)."""
+
+    def __init__(self, out_dir: str, project: str = "newsreclib_tpu",
+                 name: Optional[str] = None, offline: bool = True):
+        self._run = None
+        try:
+            import wandb  # noqa: F401
+        except ImportError:
+            log.warning("wandb not installed; WandbLogger is a no-op")
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        self._run = wandb.init(
+            project=project, name=name or os.path.basename(out_dir),
+            dir=out_dir, mode="offline" if offline else "online",
+        )
+
+    def log_hparams(self, hparams: Dict) -> None:
+        if self._run is not None:
+            self._run.config.update(
+                {k: v for k, v in hparams.items() if k != "cfg"},
+                allow_val_change=True,
+            )
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        if self._run is not None:
+            self._run.log(metrics, step=step)
+
+    def finish(self) -> None:
+        if self._run is not None:
+            self._run.finish()
+            self._run = None
+
+
 def make_loggers(out_dir: str, names) -> list:
     out = []
     for name in names:
@@ -94,6 +134,8 @@ def make_loggers(out_dir: str, names) -> list:
             out.append(StdoutLogger())
         elif name == "tensorboard":
             out.append(TensorBoardLogger(os.path.join(out_dir, "tb")))
+        elif name == "wandb":
+            out.append(WandbLogger(os.path.join(out_dir, "wandb")))
         else:
             log.warning("unknown logger %r skipped", name)
     return out

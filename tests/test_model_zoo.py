@@ -58,6 +58,12 @@ MODELS = {
         vocab_size=VOCAB, entity_vocab_size=ENT_VOCAB, text_embed_dim=32,
         entity_embed_dim=16, num_filters=16, window_sizes=(2, 3), hidden_dim_dnn=8,
     ),
+    # entity-ablated control for the statfix-v2 entity-channel demonstration
+    "dkn_noent": lambda: zoo.DKN(
+        vocab_size=VOCAB, entity_vocab_size=ENT_VOCAB, text_embed_dim=32,
+        entity_embed_dim=16, num_filters=16, window_sizes=(2, 3), hidden_dim_dnn=8,
+        use_entities=False,
+    ),
     "miner": lambda: zoo.MINER(
         vocab_size=VOCAB, text_embed_dim=60, news_embed_dim=32, num_heads=6,
         query_dim=32, categ_embed_dim=16, num_context_codes=4, context_code_dim=24,

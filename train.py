@@ -83,6 +83,12 @@ def setup_data(cfg: dict):
                 from newsreclib_tpu.data.statfix import write_mind_small_statfix
 
                 write_mind_small_statfix(dc["data_dir"], seed=dc.get("seed", 42))
+            elif dc["generate_fixture"] == "statfix_v2":
+                # v2: planted sentiment-bias + entity-topic signals (PARITY.md
+                # fairness/entity demonstrations, VERDICT r4 task 1)
+                from newsreclib_tpu.data.statfix import write_mind_small_statfix_v2
+
+                write_mind_small_statfix_v2(dc["data_dir"], seed=dc.get("seed", 42))
             else:
                 from newsreclib_tpu.data.testing import write_mind_fixture
 
