@@ -54,6 +54,13 @@ EXPERIMENTS = [
     ("nrms_adressafix_celoss", "nrms_adressa"),
     ("nrms_xmindfix_zeroshot", "nrms_xmind_zeroshot"),
     ("nrms_xmindfix_bilingual", "nrms_xmind_bilingual"),
+    # statfix v2: planted sentiment-bias + entity-topic signals (round 5)
+    ("nrms_statfix2_celoss", "nrms2"),
+    ("sentirec_statfix2_celoss", "sentirec2"),
+    ("sentirec_statfix2_nodiv", "sentirec2_nodiv"),
+    ("dkn_statfix2_celoss", "dkn2"),
+    ("dkn_statfix2_noent", "dkn2_noent"),
+    ("senti_debias_statfix2", "senti_debias2"),
 ]
 
 TIMEOUT_S = 3600

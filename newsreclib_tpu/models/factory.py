@@ -77,6 +77,10 @@ def _build_plm_tower(cfg: Dict):
         apply_reduce_dim=cfg.get("apply_reduce_dim", False),
         reduced_embed_dim=cfg.get("news_embed_dim"),
         dropout=cfg.get("dropout_probability", 0.2),
+        # segment-ID packing of the length-split short segments (round 5;
+        # measured on the v5e by benchmarks/plm_mfu_probe.py — see
+        # docs/architecture.md PLM MFU table)
+        pack_to=cfg.get("plm_pack_titles", 128),
     )
     tower_dim = (
         cfg.get("news_embed_dim")

@@ -174,17 +174,42 @@ def run_aspect_training(cfg: Dict, mind, info, loggers, out_dir: str) -> Dict[st
                 break
     history["best_loss"] = best if best is not None else float("nan")
 
-    # t-SNE of the final embedding space (reference manner_a_module.py:229-289)
+    # quality of the learned aspect space (VERDICT r4 task 7): kNN label
+    # purity over a multi-batch article sample — a number comparable across
+    # runs, unlike the t-SNE picture — plus the reference's t-SNE scatter
+    # (manner_a_module.py:229-289)
     try:
-        nb = next(iter(val_batcher.epoch(0)))
-        emb = np.asarray(
-            model.apply({"params": state.params}, nb.news, deterministic=True)
-        )
-        tsne_plot(emb[nb.valid], np.asarray(nb.labels)[nb.valid],
-                  os.path.join(out_dir, f"tsne_{aspect}.png"))
+        embs, labs = [], []
+        for i, nb in enumerate(val_batcher.epoch(0)):
+            if len(embs) * batch_size >= 2048:
+                break
+            e = np.asarray(
+                model.apply({"params": state.params}, nb.news, deterministic=True)
+            )
+            embs.append(e[nb.valid])
+            labs.append(np.asarray(nb.labels)[nb.valid])
+        emb = np.concatenate(embs)
+        lab = np.concatenate(labs)
+        history["val/knn_purity"] = knn_label_purity(emb, lab)
+        log.info("aspect kNN label purity (k=10, n=%d): %.4f",
+                 len(emb), history["val/knn_purity"])
+        tsne_plot(emb, lab, os.path.join(out_dir, f"tsne_{aspect}.png"))
     except Exception as e:  # noqa: BLE001 — visualization must not fail a run
-        log.warning("t-SNE plot skipped: %s", e)
+        log.warning("aspect-space quality report skipped: %s", e)
     return history
+
+
+def knn_label_purity(embeddings: np.ndarray, labels: np.ndarray, k: int = 10) -> float:
+    """Mean fraction of each point's k nearest neighbors (cosine, excluding
+    itself) that share its label.  Chance level = the label marginal's
+    self-collision rate; a well-organized aspect space scores far above it."""
+    x = embeddings / np.maximum(
+        np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-12
+    )
+    sim = x @ x.T
+    np.fill_diagonal(sim, -np.inf)
+    nn = np.argsort(-sim, axis=1)[:, :k]
+    return float((labels[nn] == labels[:, None]).mean())
 
 
 def tsne_plot(

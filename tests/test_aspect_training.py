@@ -67,6 +67,19 @@ def test_tsne_plot(store, tmp_path):
     assert os.path.getsize(fpath) > 1000
 
 
+def test_knn_label_purity():
+    from newsreclib_tpu.training.aspect import knn_label_purity
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 4, size=200)
+    # well-separated clusters -> purity ~1; random space -> ~label marginal
+    centers = rng.normal(size=(4, 16)) * 10
+    clustered = centers[labels] + rng.normal(size=(200, 16)) * 0.1
+    assert knn_label_purity(clustered.astype(np.float32), labels) > 0.95
+    random_emb = rng.normal(size=(200, 16)).astype(np.float32)
+    assert knn_label_purity(random_emb, labels) < 0.45
+
+
 def test_senti_debias_cli(tmp_path):
     """Adversarial path through train.py on the demo fixture."""
     import sys

@@ -83,6 +83,72 @@ def test_plm_text_encoder_heads(tiny_bert_dir):
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_hf_save_roundtrip(tiny_bert_dir, tmp_path):
+    """save_as_hf_bert → load_hf_torch_weights is the identity on encoder
+    params (the offline-MLM-pretraining export path, round 5)."""
+    from newsreclib_tpu.models.components.plm import save_as_hf_bert
+
+    params, kwargs = load_hf_torch_weights(tiny_bert_dir)
+    out = save_as_hf_bert(params, kwargs, str(tmp_path / "exported"))
+    params2, kwargs2 = load_hf_torch_weights(out)
+    assert kwargs2 == kwargs
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = jax.tree_util.tree_leaves_with_path(params2)
+    assert len(flat1) == len(flat2)
+    for (p1, a), (p2, b) in zip(flat1, flat2):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plm_packing_exact(tiny_bert_dir):
+    """pack_to (segment-ID packing of articles into one transformer
+    sequence) must match the unpacked path — block-diagonal attention +
+    per-article positions make it numerically equivalent (round 5, the PLM
+    analog of text.py MHSAAddAtt.pack_to)."""
+    params, kwargs = load_hf_torch_weights(tiny_bert_dir)
+    rng = np.random.default_rng(3)
+    U, L = 8, 10
+    tokens = np.asarray(rng.integers(1, 120, size=(U, L)), dtype=np.int32)
+    # ragged masks: variable article lengths exercise key masking
+    lens = rng.integers(3, L + 1, size=U)
+    tokens = np.where(np.arange(L)[None] < lens[:, None], tokens, 0)
+    tokens_j = jnp.asarray(tokens)
+
+    for use_mhsa in (True, False):
+        plm_u = PLMTextEncoder(
+            encoder=TransformerEncoder(**kwargs), use_mhsa=use_mhsa,
+            num_heads=4, query_dim=16,
+        )
+        plm_p = PLMTextEncoder(
+            encoder=TransformerEncoder(**kwargs), use_mhsa=use_mhsa,
+            num_heads=4, query_dim=16, pack_to=4 * L,
+        )
+        variables = plm_u.init(jax.random.key(0), tokens_j, deterministic=True)
+        variables["params"]["encoder"] = params
+        out_u = plm_u.apply(variables, tokens_j, deterministic=True)
+        out_p = plm_p.apply(variables, tokens_j, deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(out_u), np.asarray(out_p), atol=1e-5, rtol=1e-5,
+        )
+
+    # non-divisible U falls back to unpacked (logged) and still matches
+    plm_u = PLMTextEncoder(
+        encoder=TransformerEncoder(**kwargs), use_mhsa=True,
+        num_heads=4, query_dim=16,
+    )
+    variables = plm_u.init(jax.random.key(0), tokens_j, deterministic=True)
+    variables["params"]["encoder"] = params
+    plm_f = PLMTextEncoder(
+        encoder=TransformerEncoder(**kwargs), use_mhsa=True,
+        num_heads=4, query_dim=16, pack_to=3 * L,
+    )
+    np.testing.assert_allclose(
+        np.asarray(plm_u.apply(variables, tokens_j, deterministic=True)),
+        np.asarray(plm_f.apply(variables, tokens_j, deterministic=True)),
+        atol=1e-6,
+    )
+
+
 def test_layer_freezing(tiny_bert_dir):
     import optax
 
