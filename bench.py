@@ -248,10 +248,18 @@ def main() -> None:
     dt = timeit_pipelined(eval_step, state, eval_batch, steps=20)
 
     # MFU: compiled-graph FLOPs / wall / peak (v5e ≈ 197 TFLOP/s bf16,
-    # ≈ 98.5 TFLOP/s f32 inputs on the MXU)
+    # ≈ 98.5 TFLOP/s f32 inputs on the MXU).
+    #
+    # fn must be the ALREADY-JITTED step whose wall time dt_s measures.
+    # Rounds 2-4 analyzed `jax.jit(lambda s,b: tstep(s,b)[1]["loss"])` — XLA
+    # dead-code-eliminates the entire backward pass + optimizer from that
+    # loss-only graph, so train_mfu was undercounted ~3x (BENCH_r04
+    # plm_train_mfu 12.8% was really 38.3%; benchmarks/plm_mfu_probe.py
+    # round 5 closed this).
     def mfu_of(fn, args, dt_s, peak=98.5e12):
         try:
-            cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+            assert hasattr(fn, "lower"), "pass the jitted step itself"
+            cost = fn.lower(*args).compile().cost_analysis()
             if isinstance(cost, list):
                 cost = cost[0]
             return float(cost.get("flops", 0.0)) / dt_s / peak
@@ -274,9 +282,7 @@ def main() -> None:
     tdt = timeit_pipelined(
         lambda s, b: tstep(s, b)[1]["loss"], state, train_batch, steps=10, warmup=2
     )
-    train_mfu = mfu_of(
-        lambda s, b: tstep(s, b)[1]["loss"], (state, train_batch), tdt, peak=197e12
-    )
+    train_mfu = mfu_of(tstep, (state, train_batch), tdt, peak=197e12)
     tdt_u = timeit_pipelined(
         lambda s, b: tstep(s, b)[1]["loss"], state, train_unsplit, steps=10, warmup=2
     )
@@ -314,10 +320,8 @@ def main() -> None:
             lambda s, b: tstep(s, b)[1]["loss"], state_unpacked, train_batch,
             steps=10, warmup=2,
         )
-        train_mfu_p = mfu_of(
-            lambda s, b: tstep(s, b)[1]["loss"], (state_unpacked, train_batch),
-            tdt_p, peak=197e12,
-        )
+        train_mfu_p = mfu_of(tstep, (state_unpacked, train_batch),
+                             tdt_p, peak=197e12)
         log(f"unpacked comparison: train {tdt_p*1e3:.2f} ms "
             f"(MFU {train_mfu_p*100:.1f}%), eval {dt_p*1e3:.2f} ms")
         extra.update(
@@ -341,6 +345,7 @@ def main() -> None:
         plm_tower = PLMTextEncoder(
             encoder=TransformerEncoder(vocab_size=30522),
             use_mhsa=True, num_heads=16, query_dim=200,
+            pack_to=128,  # production default (factory plm_pack_titles)
         )
         plm_model = NRMS(vocab_size=VOCAB, num_heads=16,
                          text_encoder_module=plm_tower)
@@ -374,21 +379,34 @@ def main() -> None:
             lambda s, b: tstep(s, b)[1]["loss"], plm_state, plm_train_b,
             steps=10, warmup=2,
         )
-        plm_train_mfu = mfu_of(
-            lambda s, b: tstep(s, b)[1]["loss"], (plm_state, plm_train_b),
-            plm_tdt, peak=197e12,
+        plm_train_mfu = mfu_of(tstep, (plm_state, plm_train_b),
+                               plm_tdt, peak=197e12)
+        # rbg dropout variant (trainer.dropout_rng_impl: rbg) — threefry
+        # bit generation is ~36% of this step (plm_mfu_probe r5)
+        plm_state_rbg = plm_state.replace(dropout_rng=jax.random.wrap_key_data(
+            jax.random.bits(jax.random.key(7), (4,), "uint32"), impl="rbg"))
+        jax.block_until_ready(tstep(plm_state_rbg, plm_train_b)[1]["loss"])
+        plm_tdt_rbg = timeit_pipelined(
+            lambda s, b: tstep(s, b)[1]["loss"], plm_state_rbg, plm_train_b,
+            steps=10, warmup=2,
         )
+        plm_train_mfu_rbg = mfu_of(tstep, (plm_state_rbg, plm_train_b),
+                                   plm_tdt_rbg, peak=197e12)
         plm_eval_b = plm_batch(64, CANDS, 1024)
         jax.block_until_ready(eval_step(plm_state, plm_eval_b))
         plm_dt = timeit_pipelined(eval_step, plm_state, plm_eval_b, steps=10)
         plm_eval_mfu = mfu_of(eval_step, (plm_state, plm_eval_b), plm_dt,
                               peak=197e12)
-        log(f"PLM tower (12-layer, L={PLM_LEN}): train {plm_tdt*1e3:.1f} ms "
-            f"(B=64, MFU {plm_train_mfu*100:.1f}%), uncached eval "
+        log(f"PLM tower (12-layer, L={PLM_LEN}, packed): train "
+            f"{plm_tdt*1e3:.1f} ms (B=64, MFU {plm_train_mfu*100:.1f}%), "
+            f"rbg-dropout {plm_tdt_rbg*1e3:.1f} ms "
+            f"(MFU {plm_train_mfu_rbg*100:.1f}%), uncached eval "
             f"{plm_dt*1e3:.1f} ms (MFU {plm_eval_mfu*100:.1f}%)")
         extra.update(
             plm_train_ms=round(plm_tdt * 1e3, 2),
             plm_train_mfu=round(plm_train_mfu, 4),
+            plm_train_ms_rbg=round(plm_tdt_rbg * 1e3, 2),
+            plm_train_mfu_rbg=round(plm_train_mfu_rbg, 4),
             plm_eval_ms=round(plm_dt * 1e3, 2),
             plm_eval_mfu=round(plm_eval_mfu, 4),
         )

@@ -24,19 +24,17 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def timeit(fn, *args, steps=10, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+    # axon tunnel: block_until_ready acks early — use the pipelined
+    # scalar-fetch timer (newsreclib_tpu/utils/timing.py)
+    from newsreclib_tpu.utils.timing import timeit_pipelined
+
+    return timeit_pipelined(fn, *args, steps=steps, warmup=warmup)
 
 
 def flops_of(fn, *args):
+    """fn must already be jitted — .lower() then hits the compile cache."""
     try:
-        c = jax.jit(fn).lower(*args).compile().cost_analysis()
+        c = fn.lower(*args).compile().cost_analysis()
         if isinstance(c, list):
             c = c[0]
         return float(c.get("flops", 0.0))
@@ -52,6 +50,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pack", type=int, default=0,
                     help="PLMTextEncoder.pack_to (0 = off)")
+    ap.add_argument("--rng", choices=["threefry", "rbg"], default="threefry",
+                    help="dropout PRNG impl (rbg = TPU hardware RNG)")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
@@ -116,11 +116,14 @@ def main() -> None:
                                   batch.cand_mask, batch.impression_valid)
 
     key = jax.random.key(0)
+    if args.rng == "rbg":
+        key = jax.random.wrap_key_data(
+            jax.random.bits(key, (4,), "uint32"), impl="rbg")
+        state = state.replace(dropout_rng=key)
     fwd = jax.jit(fwd_loss)
     fwd_det = jax.jit(fwd_loss_det)
     grad = jax.jit(lambda p, b, k: jax.grad(fwd_loss)(p, b, k))
     grad_det = jax.jit(lambda p, b: jax.grad(fwd_loss_det)(p, b))
-    full = lambda s, b: tstep(s, b)[1]["loss"]
 
     rows = []
     for name, fn, fargs in [
@@ -128,26 +131,31 @@ def main() -> None:
         ("fwd (deterministic)", fwd_det, (state.params, base)),
         ("fwd+bwd (dropout on)", grad, (state.params, base, key)),
         ("fwd+bwd (deterministic)", grad_det, (state.params, base)),
-        ("full train step", full, (state, base)),
+        ("full train step", tstep, (state, base)),
     ]:
         dt = timeit(fn, *fargs, steps=6 if args.quick else 10)
         fl = flops_of(fn, *fargs)
         rows.append((name, dt, fl))
         print(f"{name:28s}: {dt*1e3:8.2f} ms   graph {fl/1e12:6.2f} TFLOP   "
-              f"'MFU' {fl/dt/PEAK*100:5.1f}%")
+              f"'MFU' {fl/dt/PEAK*100:5.1f}%", flush=True)
 
     # ---- B/U saturation probe (full train step) ----
-    print("\nsaturation probe (full step):")
+    print("\nsaturation probe (full step):", flush=True)
     for B, U in ([(64, 512), (128, 1024), (256, 2048)] if not args.quick
                  else [(64, 512), (256, 2048)]):
-        b = plm_batch(B, 5, U)
-        st = create_train_state(model, b, jax.random.key(1), make_optimizer())
-        dt = timeit(lambda s, x: tstep(s, x)[1]["loss"], st, b,
-                    steps=5, warmup=2)
-        fl = flops_of(lambda s, x: tstep(s, x)[1]["loss"], st, b)
-        per_art = dt / U * 1e6
-        print(f"B={B:4d} U={U:5d}: {dt*1e3:8.2f} ms  ({per_art:6.1f} us/article)"
-              f"  graph {fl/1e12:6.2f} TFLOP  'MFU' {fl/dt/PEAK*100:5.1f}%")
+        try:
+            b = plm_batch(B, 5, U)
+            st = create_train_state(model, b, jax.random.key(1), make_optimizer())
+            dt = timeit(tstep, st, b, steps=5, warmup=2)
+            fl = flops_of(tstep, st, b)
+            del st
+            per_art = dt / U * 1e6
+            print(f"B={B:4d} U={U:5d}: {dt*1e3:8.2f} ms  ({per_art:6.1f} us/article)"
+                  f"  graph {fl/1e12:6.2f} TFLOP  'MFU' {fl/dt/PEAK*100:5.1f}%",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — keep probing after an OOM
+            print(f"B={B:4d} U={U:5d}: FAILED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]})", flush=True)
 
 
 if __name__ == "__main__":

@@ -62,12 +62,25 @@ def create_train_state(
     example_batch,
     rng: jax.Array,
     optimizer,
+    dropout_rng_impl: "str | None" = None,
 ) -> TrainState:
     """``optimizer``: a GradientTransformation, or a callable
     ``params -> GradientTransformation`` for optimizers that need the
     initialized param tree (e.g. ``freeze_labels`` from
-    ``plm_freeze_labels`` — reference ``text.py:70-73``)."""
+    ``plm_freeze_labels`` — reference ``text.py:70-73``).
+
+    ``dropout_rng_impl="rbg"``: use the TPU hardware RNG for dropout masks.
+    Threefry random-bit generation is a measured 36% of the 12-layer PLM
+    train step (54 ms of 148; benchmarks/plm_mfu_probe.py round 5) — rbg
+    cuts the full step to 103 ms (54.9% MFU).  Param init stays on threefry
+    (same init for either choice); only the dropout stream changes, which
+    is seed-like noise (measured band: PARITY.md round-5 section).
+    """
     params_rng, dropout_rng = jax.random.split(rng)
+    if dropout_rng_impl and dropout_rng_impl != "threefry":
+        dropout_rng = jax.random.wrap_key_data(
+            jax.random.bits(dropout_rng, (4,), "uint32"), impl=dropout_rng_impl
+        )
     variables = model.init(
         {"params": params_rng, "dropout": dropout_rng}, example_batch, deterministic=True
     )

@@ -206,3 +206,25 @@ def test_overfit_batches_replays_and_overfits():
     assert trainer.global_step == 15 * 2  # exactly N batches per epoch
     # final-epoch loss far below the ln(5)=1.61 start — it memorized
     assert hist["train/loss"] < 0.35, hist
+
+
+def test_rbg_dropout_rng(setup):
+    """trainer.dropout_rng_impl="rbg": TPU-hardware-RNG dropout keys thread
+    through fold_in/train steps and train normally (round 5 — threefry bit
+    generation is 36% of the PLM train step, benchmarks/plm_mfu_probe.py)."""
+    train_b, _, model = setup
+    example = next(iter(train_b.epoch(0)))
+    state = create_train_state(model, example, jax.random.key(0),
+                               make_optimizer(1e-3), dropout_rng_impl="rbg")
+    assert "rbg" in str(jax.random.key_impl(state.dropout_rng))
+    from newsreclib_tpu.training.steps import make_train_step
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss as ce
+
+    step = make_train_step(ce, donate=False)
+    state2, metrics = step(state, example)
+    assert np.isfinite(float(metrics["loss"]))
+    # dropout stream differs from threefry but training is unaffected
+    state_t = create_train_state(model, example, jax.random.key(0),
+                                 make_optimizer(1e-3))
+    _, m_t = step(state_t, example)
+    assert np.isfinite(float(m_t["loss"]))

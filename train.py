@@ -493,6 +493,9 @@ def run(cfg: dict) -> dict:
         example,
         jax.random.key(cfg.get("seed", 0)),
         build_optimizer(cfg, steps_per_epoch=len(train_batcher)),
+        # "rbg" = TPU hardware RNG for dropout masks (36% of the PLM step
+        # is threefry bit generation; benchmarks/plm_mfu_probe.py r5)
+        dropout_rng_impl=tc.get("dropout_rng_impl"),
     )
     n_params = param_count(state.params)
     log.info("params: %d", n_params)
