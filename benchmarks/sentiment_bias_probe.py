@@ -80,12 +80,15 @@ def head_metrics(order_rows, valid_counts, hists, row_pol, imp_user_pol, k=10):
             num = np.minimum(p, hp).sum()
             den = np.maximum(p, hp).sum()
             perss.append(float(num / den))
+    def m(x):
+        return float(np.mean(x)) if len(x) else float("nan")
+
     return {
         "n_imps": len(divs),
-        "skew": float(np.mean(skews)),
-        "skew_base": float(np.mean(bases)),
-        "sent_div@10": float(np.mean(divs)),
-        "sent_pers@10": float(np.mean(perss)),
+        "skew": m(skews),
+        "skew_base": m(bases),
+        "sent_div@10": m(divs),
+        "sent_pers@10": m(perss),
     }
 
 
@@ -95,6 +98,8 @@ def main() -> None:
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", default=None)
     ap.add_argument("--which", default="best")
+    ap.add_argument("--limit-batches", type=int, default=None,
+                    help="smoke-test cap on scored eval batches")
     args = ap.parse_args()
 
     from newsreclib_tpu.config.compose import compose
@@ -153,7 +158,9 @@ def main() -> None:
     per_head_rows: dict = {}
     valid_counts, hist_rows, imp_ids = [], [], []
     cursor = 0
-    for raw in batcher._assembler:
+    for bi, raw in enumerate(batcher._assembler):
+        if args.limit_batches and bi >= args.limit_batches:
+            break
         news, news2, hist_local, cand_local = _dedup(
             store, raw.hist_idx, raw.cand_idx, dc.get("u_bucket_min", 512),
             dc.get("split_title_len", 16), margin,
