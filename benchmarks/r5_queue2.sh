@@ -7,7 +7,9 @@ echo "=== 1. sentiment-bias probes on the fresh v2 checkpoints"
 for pair in nrms_statfix2_celoss:statfix_nrms2 \
             sentirec_statfix2_celoss:statfix_sentirec2 \
             sentirec_statfix2_nodiv:statfix_sentirec2_nodiv \
-            senti_debias_statfix2:statfix_senti_debias2; do
+            senti_debias_statfix2:statfix_senti_debias2 \
+            dkn_statfix2_celoss:statfix_dkn2 \
+            dkn_statfix2_noent:statfix_dkn2_noent; do
   e=${pair%%:*}; d=${pair##*:}
   ck=$(ls -d outputs/$d/attempt_*/checkpoints 2>/dev/null | tail -1)
   if [ -n "$ck" ] && [ ! -f outputs/$d/bias_probe.json ]; then
@@ -16,6 +18,9 @@ for pair in nrms_statfix2_celoss:statfix_nrms2 \
       --exp "$e" --ckpt "$ck" --out "outputs/$d/bias_probe.json"
   fi
 done
+
+echo "=== 1b. CAUM on v2 (second entity-bearing architecture)"
+python -u benchmarks/run_statfix_matrix.py --only caum_statfix2_celoss
 
 echo "=== 2. v2 seed replicates (noise band on the v2 fixture)"
 python -u benchmarks/run_statfix_matrix.py --seeds 43,44 --exp nrms_statfix2_celoss --name nrms2

@@ -61,6 +61,7 @@ EXPERIMENTS = [
     ("dkn_statfix2_celoss", "dkn2"),
     ("dkn_statfix2_noent", "dkn2_noent"),
     ("senti_debias_statfix2", "senti_debias2"),
+    ("caum_statfix2_celoss", "caum2"),
 ]
 
 TIMEOUT_S = 3600

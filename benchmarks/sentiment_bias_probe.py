@@ -43,8 +43,10 @@ def polarity_tables(data_dir: str, store, impressions):
     truth = np.load(os.path.join(data_dir, "statfix_v2_truth.npz"))
     news_pol, user_pol = truth["news_pol"], truth["user_pol"]
     row_pol = np.zeros(store.title.shape[0], dtype=np.float64)
+    row_topic = np.full(store.title.shape[0], -1, dtype=np.int64)
     for nid, row in store.nid2row.items():
         row_pol[row] = news_pol[int(nid[1:]) - 1]
+        row_topic[row] = truth["news_topic"][int(nid[1:]) - 1]
     uids = impressions.user_ids
     uid_int = np.asarray(
         [int(str(u).lstrip("U")) for u in uids]
@@ -52,13 +54,19 @@ def polarity_tables(data_dir: str, store, impressions):
         else uids
     )
     imp_user_pol = user_pol[uid_int - 1]
-    return row_pol, imp_user_pol
+    return row_pol, imp_user_pol, row_topic
 
 
-def head_metrics(order_rows, valid_counts, hists, row_pol, imp_user_pol, k=10):
+def head_metrics(order_rows, valid_counts, hists, row_pol, imp_user_pol, k=10,
+                 row_topic=None, n_topics=20):
     """order_rows: list per impression of candidate store rows sorted by
-    descending score; hists: list of history store rows."""
-    skews, bases, divs, perss = [], [], [], []
+    descending score; hists: list of history store rows.
+
+    When ``row_topic`` is given, also reports topic_pers@10 — generalized
+    Jaccard between top-10 and history TOPIC histograms.  The v2 topic
+    signal is carried ONLY by entities, so topic_pers above the random-
+    ranking base demonstrates the entity channel at work behaviorally."""
+    skews, bases, divs, perss, tperss = [], [], [], [], []
     log3 = np.log(3.0)
     for rows, n, hist, upol in zip(order_rows, valid_counts, hists, imp_user_pol):
         if n < k:
@@ -80,16 +88,27 @@ def head_metrics(order_rows, valid_counts, hists, row_pol, imp_user_pol, k=10):
             num = np.minimum(p, hp).sum()
             den = np.maximum(p, hp).sum()
             perss.append(float(num / den))
+            if row_topic is not None:
+                tp = np.bincount(row_topic[top].clip(0), minlength=n_topics
+                                 ).astype(np.float64)
+                th = np.bincount(row_topic[hist].clip(0), minlength=n_topics
+                                 ).astype(np.float64)
+                tp, th = tp / tp.sum(), th / th.sum()
+                tperss.append(float(np.minimum(tp, th).sum()
+                                    / np.maximum(tp, th).sum()))
     def m(x):
         return float(np.mean(x)) if len(x) else float("nan")
 
-    return {
+    out = {
         "n_imps": len(divs),
         "skew": m(skews),
         "skew_base": m(bases),
         "sent_div@10": m(divs),
         "sent_pers@10": m(perss),
     }
+    if row_topic is not None:
+        out["topic_pers@10"] = m(tperss)
+    return out
 
 
 def main() -> None:
@@ -118,7 +137,7 @@ def main() -> None:
     store = mind.news_store("test").trim_titles(margin=margin)
     imp = mind.impressions("test")
     info = load_data_info(mind, mc)
-    row_pol, imp_user_pol = polarity_tables(dc["data_dir"], store, imp)
+    row_pol, imp_user_pol, row_topic = polarity_tables(dc["data_dir"], store, imp)
 
     params = Checkpointer(args.ckpt).restore_params(args.which)
     adversarial = bool(mc.get("adversarial"))
@@ -186,10 +205,16 @@ def main() -> None:
         cursor += n_valid
 
     report = {"experiment": args.exp, "ckpt": args.ckpt}
+    # random-ranking control: the base rate every head is compared against
+    ctrl_rng = np.random.default_rng(0)
+    any_head = next(iter(per_head_rows.values()))
+    per_head_rows["random_ranking"] = [
+        ctrl_rng.permutation(rows) for rows in any_head
+    ]
     for hname, ordered in per_head_rows.items():
         report[hname] = head_metrics(
             ordered, valid_counts, hist_rows,
-            row_pol, imp_user_pol[np.asarray(imp_ids)],
+            row_pol, imp_user_pol[np.asarray(imp_ids)], row_topic=row_topic,
         )
         print(hname, json.dumps(report[hname]))
     if args.out:
