@@ -67,6 +67,7 @@ def _build_plm_tower(cfg: Dict):
             num_layers=cfg.get("plm_num_layers", 12),
             num_heads=cfg.get("plm_num_heads", 12),
             intermediate_dim=4 * cfg.get("embed_dim", 768),
+            max_position=cfg.get("plm_max_position", 512),
         )
     encoder = TransformerEncoder(**kwargs)
     tower = PLMTextEncoder(
