@@ -99,7 +99,9 @@ def main() -> None:
         t0 = time.time()
         table = build_news_vector_table(model, params, store, args.encode_batch,
                                         dtype=jnp.bfloat16, split_title_len=split)
-        jax.block_until_ready(table)
+        # axon tunnel: force completion by fetching a scalar (block_until_
+        # ready acks early; newsreclib_tpu/utils/timing.py)
+        float(jnp.sum(table[-1].astype(jnp.float32)))
         dt = time.time() - t0
         print(f"re-encode trial {trial}: {dt:.3f}s "
               f"({N/dt:,.0f} articles/s)", flush=True)
