@@ -62,6 +62,7 @@ EXPERIMENTS = [
     ("dkn_statfix2_noent", "dkn2_noent"),
     ("senti_debias_statfix2", "senti_debias2"),
     ("caum_statfix2_celoss", "caum2"),
+    ("caum_statfix2_noent", "caum2_noent"),
 ]
 
 TIMEOUT_S = 3600
