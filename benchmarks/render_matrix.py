@@ -41,6 +41,8 @@ LABELS = {
     "dkn_statfix2_celoss": "DKN (v2)",
     "dkn_statfix2_noent": "DKN (v2, entity-ablated)",
     "senti_debias_statfix2": "SentiDebias (v2)",
+    "caum_statfix2_celoss": "CAUM (v2)",
+    "caum_statfix2_noent": "CAUM (v2, entity-ablated)",
 }
 
 
