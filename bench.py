@@ -193,12 +193,17 @@ def main() -> None:
     # warm-up/compile pass
     scorer.evaluate(params_bf16, store, imp, max_history_len=HIST,
                     target_cells=16384, encode_batch=4096, collect_auc=False)
-    t0 = time.time()
-    metrics = scorer.evaluate(
-        params_bf16, store, imp, max_history_len=HIST,
-        target_cells=16384, encode_batch=4096, collect_auc=False,
-    )
-    epoch_s = time.time() - t0
+    # best-of-3: a single epoch is one ~0.2s wall sample and the tunnel
+    # occasionally injects 100-200ms of jitter (a post-probe-traffic r5 run
+    # read 41.8k where clean runs read ~95k) — min over 3 is the throughput
+    epoch_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        metrics = scorer.evaluate(
+            params_bf16, store, imp, max_history_len=HIST,
+            target_cells=16384, encode_batch=4096, collect_auc=False,
+        )
+        epoch_s = min(epoch_s, time.time() - t0)
     cached_ips = N_IMP / epoch_s
     log(
         f"cached serving epoch: {epoch_s:.3f}s for {N_IMP} impressions "

@@ -199,7 +199,10 @@ class PLMTextEncoder(nn.Module):
             )
             hidden = hidden.reshape(u, l, hidden.shape[-1])
         else:
-            if self.pack_to:
+            if self.pack_to and p >= 2:
+                # p < 2 (title width >= pack_to) is a structural no-op, not
+                # a regression — only a broken divisibility/mask invariant
+                # deserves a warning (ADVICE r4)
                 import logging
 
                 logging.getLogger("newsreclib_tpu").warning(

@@ -65,7 +65,7 @@ class MHSAAddAtt(nn.Module):
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         u, l = tokens.shape[0], tokens.shape[1]
         p = self.pack_to // l if (self.pack_to and tokens.ndim == 2) else 0
-        if self.pack_to and not (p >= 2 and u % p == 0 and mask is not None):
+        if self.pack_to and p >= 2 and not (u % p == 0 and mask is not None):
             # packing is the production default (+48% measured train
             # throughput); a batcher change breaking the power-of-two
             # u-bucket invariant must not regress it SILENTLY (ADVICE r4).
