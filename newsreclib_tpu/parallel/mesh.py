@@ -43,19 +43,51 @@ def row_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("model", None))
 
 
-def param_shardings(params, mesh: Mesh, row_shard_embeddings: bool = True):
-    """Sharding pytree for model params: everything replicated except 2-D
-    ``*/embedding/embedding`` tables (word/entity vocab tables), which are
-    row-sharded over the ``model`` axis when it is >1 (SURVEY.md §2.6:
-    MINDlarge GloVe vocab ~0.5M rows × 300 — the only param big enough to
-    matter)."""
-    want_rows = row_shard_embeddings and mesh.shape.get("model", 1) > 1
+# Megatron-style tensor-parallel layout for the PLM transformer tower
+# (components/plm.py::TransformerLayer, params under ``layer_<i>/``):
+# q/k/v and ff1 shard their OUTPUT features (column-parallel — each model
+# shard owns a contiguous block of heads / MLP hidden units), attn_out and
+# ff2 shard their INPUT features (row-parallel); under GSPMD a single
+# all-reduce per block reassembles activations after attn_out / ff2.
+# Reference analog: none — the reference is DDP-only (SURVEY.md §2.6).
+_TP_COL = ("/q/kernel", "/k/kernel", "/v/kernel", "/ff1/kernel")
+_TP_COL_BIAS = ("/q/bias", "/k/bias", "/v/bias", "/ff1/bias")
+_TP_ROW = ("/attn_out/kernel", "/ff2/kernel")
+
+
+def _leaf_spec(name: str, x, want_rows: bool, want_tp: bool):
+    ndim = getattr(x, "ndim", 0)
+    if want_rows and ndim == 2 and name.endswith("embedding/embedding"):
+        return P("model", None)
+    if want_tp and "layer_" in name:
+        if ndim == 2 and name.endswith(_TP_COL):
+            return P(None, "model")
+        if ndim == 1 and name.endswith(_TP_COL_BIAS):
+            return P("model")
+        if ndim == 2 and name.endswith(_TP_ROW):
+            return P("model", None)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh, row_shard_embeddings: bool = True,
+                    tp_transformer: bool = False):
+    """Sharding pytree for model params.  Everything replicated except:
+
+    - 2-D ``*/embedding/embedding`` tables (word/entity vocab tables),
+      row-sharded over ``model`` when the axis is >1 (SURVEY.md §2.6:
+      MINDlarge GloVe vocab ~0.5M rows × 300);
+    - with ``tp_transformer=True``, the PLM tower's per-layer q/k/v/ff1
+      (column-parallel) and attn_out/ff2 (row-parallel) kernels — tensor
+      parallelism over the same ``model`` axis, so a 12-layer tower's
+      weights and its attention/MLP FLOPs split across model shards.
+    """
+    big = mesh.shape.get("model", 1) > 1
+    want_rows = row_shard_embeddings and big
+    want_tp = tp_transformer and big
 
     def spec_for(path, x):
         name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
-        if want_rows and x.ndim == 2 and name.endswith("embedding/embedding"):
-            return NamedSharding(mesh, P("model", None))
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _leaf_spec(name, x, want_rows, want_tp))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
@@ -79,23 +111,25 @@ def put_global(x, sharding: NamedSharding):
     return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 
-def place_state(state, mesh: Mesh, row_shard_embeddings: bool = True):
+def place_state(state, mesh: Mesh, row_shard_embeddings: bool = True,
+                tp_transformer: bool = False):
     """Place a TrainState onto the mesh: params per ``param_shardings``,
     optimizer state following the same rule (adam's mu/nu mirror the param
     tree — replicating a row-sharded table's moments would keep 2× the full
     table's bytes on every device, defeating the sharding), RNG replicated.
     The production multi-device path (``train.py`` / ``Trainer``) and the
     driver dryrun both go through here."""
-    shardings = param_shardings(state.params, mesh, row_shard_embeddings)
+    shardings = param_shardings(state.params, mesh, row_shard_embeddings,
+                                tp_transformer)
     params = jax.tree.map(put_global, state.params, shardings)
     repl = replicated(mesh)
-    want_rows = row_shard_embeddings and mesh.shape.get("model", 1) > 1
+    big = mesh.shape.get("model", 1) > 1
+    want_rows = row_shard_embeddings and big
+    want_tp = tp_transformer and big
 
     def opt_spec(path, x):
         name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
-        if want_rows and getattr(x, "ndim", 0) == 2 and name.endswith("embedding/embedding"):
-            return NamedSharding(mesh, P("model", None))
-        return repl
+        return NamedSharding(mesh, _leaf_spec(name, x, want_rows, want_tp))
 
     opt_shardings = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
     opt_state = jax.tree.map(put_global, state.opt_state, opt_shardings)

@@ -54,6 +54,10 @@ class TrainerConfig:
     limit_eval_batches: Optional[int] = None
     cached_eval: bool = True  # serve fit-time eval from the news-vector cache
     row_shard_embeddings: bool = True  # over the mesh's model axis, if >1
+    # Megatron-style tensor parallelism for the PLM tower over the same
+    # model axis (parallel/mesh.py::param_shardings): q/k/v/ff1 column-,
+    # attn_out/ff2 row-parallel. No reference analog (DDP-only, SURVEY §2.6).
+    tp_transformer: bool = False
     # "bfloat16" → mixed precision: f32 master params/opt, bf16 compute
     # (reference trainer precision-16 flag, configs/trainer/default.yaml:12)
     compute_dtype: Optional[str] = None
@@ -107,7 +111,8 @@ class Trainer:
         if mesh is not None:
             from newsreclib_tpu.parallel.mesh import place_state
 
-            state = place_state(state, mesh, cfg.row_shard_embeddings)
+            state = place_state(state, mesh, cfg.row_shard_embeddings,
+                                cfg.tp_transformer)
         self.state = state
         self.loggers = list(loggers)
         self.ranking = ranking or RankingMetrics()
@@ -417,7 +422,8 @@ class Trainer:
             return state
         from newsreclib_tpu.parallel.mesh import place_state
 
-        return place_state(state, self.mesh, self.cfg.row_shard_embeddings)
+        return place_state(state, self.mesh, self.cfg.row_shard_embeddings,
+                           self.cfg.tp_transformer)
 
     def test(self, test_batcher: EvalBatcher, restore_best: bool = True) -> Dict[str, float]:
         if restore_best and self.ckpt and self.ckpt.has("best"):

@@ -315,3 +315,94 @@ def test_mindlarge_scale_row_sharded_embeddings():
     assert vec_table.shape == (NUM_NEWS + 1, EMBED)
     sample = np.asarray(vec_table[1:64])
     assert np.all(np.isfinite(sample)) and np.abs(sample).sum() > 0
+
+
+# ---- tensor parallelism for the PLM tower ---------------------------------
+
+
+def _plm_nrms_state(cfg, batch, optimizer=None):
+    """Tiny NRMS with a 2-layer transformer text tower (PLM path)."""
+    import optax
+
+    from newsreclib_tpu.models.components.plm import (
+        PLMTextEncoder,
+        TransformerEncoder,
+    )
+    from newsreclib_tpu.models.general_rec import NRMS
+    from newsreclib_tpu.training.state import create_train_state, make_optimizer
+
+    enc = TransformerEncoder(
+        vocab_size=cfg.vocab_size, hidden_dim=32, num_layers=2, num_heads=4,
+        intermediate_dim=64, max_position=64, dropout=0.0,
+    )
+    tower = PLMTextEncoder(encoder=enc, use_mhsa=True, num_heads=4,
+                           query_dim=16, dropout=0.0)
+    model = NRMS(vocab_size=cfg.vocab_size, embed_dim=32, num_heads=4,
+                 query_dim=16, text_encoder_module=tower)
+    state = create_train_state(model, batch, jax.random.key(3),
+                               optimizer or make_optimizer(1e-3))
+    return model, state
+
+
+def test_tp_transformer_param_shardings():
+    """q/k/v/ff1 kernels column-sharded, attn_out/ff2 row-sharded over the
+    model axis; biases of column-parallel layers sharded; everything in the
+    layout dimensionally consistent (heads divisible by model shards)."""
+    from jax.sharding import PartitionSpec as P
+
+    from newsreclib_tpu.parallel.mesh import param_shardings
+
+    batches, cfg = _synthetic_batches(n_batches=1, batch_size=8)
+    _, state = _plm_nrms_state(cfg, batches[0])
+    mesh = make_mesh(jax.devices(), model_axis=4)
+    sh = param_shardings(state.params, mesh, tp_transformer=True)
+    flat = {
+        "/".join(str(p.key) for p in path if hasattr(p, "key")): s
+        for path, s in jax.tree_util.tree_leaves_with_path(sh)
+    }
+    col = [k for k in flat if k.endswith(("q/kernel", "k/kernel", "v/kernel",
+                                          "ff1/kernel")) and "layer_" in k]
+    row = [k for k in flat if k.endswith(("attn_out/kernel", "ff2/kernel"))
+           and "layer_" in k]
+    assert len(col) == 2 * 4 and len(row) == 2 * 2  # 2 layers
+    for k in col:
+        assert flat[k].spec == P(None, "model"), k
+    for k in row:
+        assert flat[k].spec == P("model", None), k
+    # the NRMS head (non-PLM) params stay replicated
+    assert all(flat[k].spec == P() for k in flat
+               if "layer_" not in k and not k.endswith("embedding/embedding"))
+
+
+def test_mesh_trainer_tp_transformer_matches_single_device():
+    """Megatron-style TP over the model axis must reproduce the single-device
+    trajectory exactly (GSPMD relayouts, not math changes): same per-epoch
+    loss and same final params."""
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+    import optax
+
+    batches, cfg = _synthetic_batches(n_batches=4, batch_size=8)
+    tc = TrainerConfig(max_epochs=1, log_every_n_steps=1000, ckpt_dir=None)
+    # SGD, not adam: adam normalizes near-zero gradients into lr-scale
+    # sign-like updates, which amplifies the fp32 reduction-order noise of
+    # the TP psum into O(lr) param deltas; with SGD a relayouted-but-equal
+    # computation must land within fp32 rounding of the same params
+    opt = optax.sgd(1e-2)
+
+    model, s1 = _plm_nrms_state(cfg, batches[0], optimizer=opt)
+    t1 = Trainer(s1, cross_entropy_loss, tc)
+    out1 = t1.train_epoch(_FixedBatcher(batches), 0)
+
+    _, sm = _plm_nrms_state(cfg, batches[0], optimizer=opt)  # same init
+    mesh = make_mesh(jax.devices(), model_axis=4)  # 2×4 data×model
+    tcm = TrainerConfig(max_epochs=1, log_every_n_steps=1000, ckpt_dir=None,
+                        tp_transformer=True)
+    tm = Trainer(sm, cross_entropy_loss, tcm, mesh=mesh, model=model)
+    outm = tm.train_epoch(_FixedBatcher(batches), 0)
+
+    assert abs(out1["train/loss"] - outm["train/loss"]) < 1e-4
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(tm.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
