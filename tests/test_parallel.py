@@ -465,3 +465,61 @@ def test_tp_transformer_with_frozen_layers():
         elif "layer_1" in name:
             changed_l1 += int(not np.array_equal(after[name], b))
     assert changed_l1 > 0  # the unfrozen layer actually trained
+
+
+def test_fit_with_tp_transformer_end_to_end(tmp_path_factory):
+    """Full production loop under TP: Trainer.fit (train epochs + cached
+    val eval + checkpointing) on a 4×2 data×model mesh with the PLM tower
+    tensor-parallel must match the single-device fit's val metrics."""
+    from newsreclib_tpu.data.batching import EvalBatcher, TrainBatcher
+    from newsreclib_tpu.data.mind import MINDConfig, MINDData
+    from newsreclib_tpu.data.testing import write_mind_fixture
+    from newsreclib_tpu.models.components.losses import cross_entropy_loss
+    from newsreclib_tpu.models.components.plm import (
+        PLMTextEncoder,
+        TransformerEncoder,
+    )
+    from newsreclib_tpu.models.general_rec import NRMS
+    from newsreclib_tpu.training.state import create_train_state, make_optimizer
+    from newsreclib_tpu.training.trainer import Trainer, TrainerConfig
+
+    data_dir = str(tmp_path_factory.mktemp("tpfit"))
+    write_mind_fixture(data_dir, num_news=80, num_train_behaviors=64,
+                       num_dev_behaviors=24)
+    mind = MINDData(MINDConfig(data_dir=data_dir, dataset_size="demo",
+                               sentiment_annotator="lexicon"))
+    store = mind.news_store("train")
+    train_b = TrainBatcher(store, mind.impressions("train"), batch_size=8,
+                           max_history_len=8, u_bucket_min=64)
+    val_b = EvalBatcher(store, mind.impressions("val"), max_history_len=8,
+                        target_cells=64, u_bucket_min=64)
+
+    def build():
+        enc = TransformerEncoder(
+            vocab_size=mind.vocab_size(), hidden_dim=32, num_layers=2,
+            num_heads=4, intermediate_dim=64, max_position=64, dropout=0.0,
+        )
+        tower = PLMTextEncoder(encoder=enc, use_mhsa=True, num_heads=4,
+                               query_dim=16, dropout=0.0)
+        model = NRMS(vocab_size=mind.vocab_size(), embed_dim=32, num_heads=4,
+                     query_dim=16, text_encoder_module=tower)
+        example = next(iter(train_b.epoch(0)))
+        state = create_train_state(model, example, jax.random.key(0),
+                                   make_optimizer(1e-3))
+        return model, state
+
+    model, s1 = build()
+    tc = dict(max_epochs=2, log_every_n_steps=100, patience=5)
+    t1 = Trainer(s1, cross_entropy_loss, TrainerConfig(**tc), model=model)
+    h1 = t1.fit(train_b, val_b)
+
+    _, sm = build()
+    mesh = make_mesh(jax.devices(), model_axis=2)
+    tm = Trainer(sm, cross_entropy_loss,
+                 TrainerConfig(tp_transformer=True, **tc),
+                 mesh=mesh, model=model)
+    hm = tm.fit(train_b, val_b)
+
+    assert set(h1) == set(hm)
+    for k in ("val/loss", "val/auc"):
+        assert abs(h1[k] - hm[k]) < 5e-3, (k, h1[k], hm[k])
