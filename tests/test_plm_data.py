@@ -123,3 +123,54 @@ def test_plm_cli_with_local_weights(tokenizer_dir, tmp_path):
 
     assert np.isfinite(metrics["train/loss"])
     assert "test/mrr" in metrics
+
+
+def test_plm_cli_tensor_parallel(tokenizer_dir, tmp_path):
+    """CLI plumbing for TP: trainer.model_axis=2 + trainer.tp_transformer=true
+    runs the full train.py path with the PLM tower tensor-parallel over the
+    virtual mesh's model axis (exact-parity of the layout is pinned in
+    tests/test_parallel.py; this checks the config wiring end to end)."""
+    import os
+    import sys
+
+    import torch
+    from transformers import BertConfig, BertModel
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import numpy as np
+
+    import train as train_mod
+    from newsreclib_tpu.config.compose import compose
+
+    torch.manual_seed(0)
+    model = BertModel(BertConfig(
+        vocab_size=30, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=40,
+    ))
+    model.save_pretrained(tokenizer_dir, safe_serialization=False)
+
+    data_dir = str(tmp_path / "mindtp")
+    write_mind_fixture(data_dir, num_news=40, num_train_behaviors=40, num_dev_behaviors=20)
+    cfg = compose(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "newsreclib_tpu", "configs"),
+        "train",
+        [
+            "data=mind_small_plm", "model=nrms",
+            f"data.data_dir={data_dir}/", "data.dataset_size=demo",
+            f"data.plm_tokenizer={tokenizer_dir}", "data.tokenizer_max_len=16",
+            "data.download=false", "data.generate_fixture=true",
+            "data.batch_size=4", "data.max_history_len=6",
+            "data.eval_target_cells=64", "data.u_bucket_min=64",
+            "model.use_plm=true", f"model.plm_model={tokenizer_dir}",
+            "model.embed_dim=32", "model.num_heads=4", "model.query_dim=16",
+            "model.use_pretrained_embeddings=false",
+            f"output_dir={tmp_path}/out_tp",
+            "trainer.max_epochs=1", "trainer.limit_train_batches=2",
+            "trainer.limit_eval_batches=1",
+            "trainer.model_axis=2", "trainer.tp_transformer=true",
+        ],
+    )
+    metrics = train_mod.run(cfg)
+    assert np.isfinite(metrics["train/loss"])
+    assert "test/mrr" in metrics

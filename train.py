@@ -438,6 +438,10 @@ def run(cfg: dict) -> dict:
         limit_train_batches=tc.get("limit_train_batches"),
         limit_eval_batches=tc.get("limit_eval_batches"),
         cached_eval=tc.get("cached_eval", True),
+        row_shard_embeddings=tc.get("row_shard_embeddings", True),
+        # trainer.tp_transformer=true: PLM tower tensor-parallel over the
+        # mesh's model axis (parallel/mesh.py; needs trainer.model_axis > 1)
+        tp_transformer=tc.get("tp_transformer", False),
         compute_dtype=_normalize_precision(tc.get("precision")),
         overfit_batches=tc.get("overfit_batches"),
     )
